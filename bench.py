@@ -1,0 +1,64 @@
+"""Benchmark: forward+backward Mpix/s on one chip (BASELINE.md metric).
+
+Renders + backprops a synthetic scene with trained-2DGS-like statistics at
+Blender resolution (800², one camera per step — the reference's training
+regime, SURVEY.md §6). Prints ONE JSON line.
+
+vs_baseline uses a nominal 8.0 Mpix/s fwd+bwd for the CUDA reference
+(≈80 ms/iter at 800² on the RTX-3090-class hardware of the paper; the repo
+publishes no throughput numbers — BASELINE.json "published" is {}).
+"""
+
+import json
+import time
+
+import jax
+import jax.numpy as jnp
+
+CUDA_NOMINAL_MPIX_S = 8.0
+
+
+def main():
+    from gstex_tpu.data.synthetic import orbit_camera, random_scene
+    from gstex_tpu.models import gstex as model
+    from gstex_tpu.train import optim, step as train_step
+
+    H = W = 800
+    N = 50_000
+    cfg = model.GStexConfig(chart_pad=(8, 8), tile_h=32, tile_w=32,
+                            pair_cap=1 << 20, s_max=512, pixel_num=1e6,
+                            background_color="black")
+    scene = random_scene(jax.random.key(0), N, chart_pad=cfg.chart_pad,
+                         spread=1.2, scale_lo=-4.5, scale_hi=-2.5)
+    params, buffers = model.init_params(
+        cfg, scene["means"], scene["log_scales"], scene["quats"],
+        scene["opacity_logits"], scene["features_dc"], scene["features_rest"])
+    ocfg = optim.OptimConfig()
+    state, tx = train_step.init_state(cfg, ocfg, params, buffers,
+                                      jax.random.key(1))
+    cam = orbit_camera(H, W, dist=4.0)
+    gt = jnp.zeros((H, W, 3), jnp.float32)
+    step_fn = train_step.make_train_step(cfg, tx)
+
+    # warmup / compile
+    state, metrics = step_fn(state, cam, gt)
+    jax.block_until_ready(metrics)
+
+    iters = 10
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        state, metrics = step_fn(state, cam, gt)
+    jax.block_until_ready(metrics)
+    dt = (time.perf_counter() - t0) / iters
+
+    mpix_s = (H * W / 1e6) / dt
+    print(json.dumps({
+        "metric": "fwd_bwd_mpix_per_s_chip",
+        "value": round(mpix_s, 3),
+        "unit": "Mpix/s",
+        "vs_baseline": round(mpix_s / CUDA_NOMINAL_MPIX_S, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

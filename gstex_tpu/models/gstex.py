@@ -1,0 +1,327 @@
+"""GStex model: parameters, chart budgeting, rendering, losses (functional).
+
+The JAX re-design of ``GStexModel`` (reference ``nerfstudio/models/gstex.py``):
+parameters are a pytree, rendering and losses are pure functions, and the
+jagged texture is a dense padded chart tensor (DESIGN.md). All reference
+semantics are cited inline.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import NamedTuple, Optional, Sequence, Union
+
+import jax
+import jax.numpy as jnp
+
+from ..ops import sh as sh_ops
+from ..ops import ssim as ssim_ops
+from ..ops.binning import TileBins, TileGrid, build_tile_bins
+from ..ops.camera import Camera
+from ..ops.prepare import activate_scales, prepare_splats
+from ..ops.rasterize import rasterize
+from ..ops.surfel import chart_sample_bilinear
+
+
+class GStexParams(NamedTuple):
+    """Trainable leaves (the per-group optimizer targets,
+    ``gstex.py:928-943``)."""
+
+    means: jax.Array          # (N,3)
+    log_scales: jax.Array     # (N,2) — 3rd axis is derived, not a parameter
+    quats: jax.Array          # (N,4) wxyz
+    opacity_logits: jax.Array  # (N,1)
+    features_dc: jax.Array    # (N,3)
+    features_rest: jax.Array  # (N,K-1,3)
+    texture: jax.Array        # (N,Ch,Cw,3) dense padded charts (texture_dc)
+
+
+class GStexBuffers(NamedTuple):
+    """Non-trainable state (buffers in the reference)."""
+
+    texture_hw: jax.Array     # (N,2) int32 active chart dims (texture_dims)
+    mappings: jax.Array       # (N,2) chart uv scales (detached in use)
+    pixel_scale: jax.Array    # () float32 (gstex.py:250)
+    test_colors: jax.Array    # (N,3) eval visualization colors (gstex.py:309)
+
+
+@dataclasses.dataclass(frozen=True)
+class GStexConfig:
+    """Mirrors ``GStexModelConfig`` (``gstex.py:163-221``) plus TPU knobs."""
+
+    sh_degree: int = 3
+    sh_degree_interval: int = 1000
+    ssim_lambda: float = 0.2
+    pixel_num: float = 1e6
+    sigma_factor: float = 3.0
+    build_chart_every: int = 100
+    background_color: str = "random"   # random | black | white
+    lambda_normal: Union[float, Sequence[float]] = 0.0
+    lambda_reg: Union[float, Sequence[float]] = 0.0
+    fix_init: bool = False
+    # TPU-specific
+    chart_pad: tuple[int, int] = (8, 8)   # dense chart padding (Ch, Cw)
+    tile_h: int = 32
+    tile_w: int = 32
+    pair_cap: int = 1 << 20
+    s_max: int = 512
+
+    def grid(self, height: int, width: int) -> TileGrid:
+        return TileGrid(height=height, width=width,
+                        tile_h=self.tile_h, tile_w=self.tile_w)
+
+
+def schedule_value(v, step):
+    """lambda_normal / lambda_reg schedules: float or [v0, v1, switch_step]
+    (``gstex.py:1304-1311``)."""
+    if isinstance(v, (int, float)):
+        return jnp.float32(v)
+    v0, v1, sw = v
+    return jnp.where(step >= sw, jnp.float32(v1), jnp.float32(v0))
+
+
+def active_sh_degree(cfg: GStexConfig, step):
+    """SH degree schedule (``gstex.py:1103``)."""
+    return jnp.minimum(step // cfg.sh_degree_interval, cfg.sh_degree)
+
+
+# ---------------------------------------------------------------------------
+# chart budgeting (build_charts, gstex.py:841-888)
+# ---------------------------------------------------------------------------
+
+def build_charts(cfg: GStexConfig, log_scales: jax.Array,
+                 update_pixel_scale: bool = True,
+                 pixel_scale: Optional[jax.Array] = None):
+    """Binary-search the global texel scale so Σ ceil(σf·l0/s)·ceil(σf·l1/s)
+    hits the ``pixel_num`` budget within 0.1%, then derive per-Gaussian chart
+    dims and uv mappings (``gstex.py:841-888``). Chart dims are additionally
+    clamped to the dense pad (DESIGN.md deviation; budget-neutral via the
+    clamped score).
+
+    Returns (texture_hw (N,2) int32, mappings (N,2), pixel_scale ()).
+    """
+    sf = cfg.sigma_factor
+    ch, cw = cfg.chart_pad
+    l0, l1 = activate_scales(jax.lax.stop_gradient(log_scales))
+    target = float(cfg.pixel_num)
+
+    def dims_at(scale):
+        h = jnp.clip(jnp.ceil(sf * l0 / scale), 1, ch)
+        w = jnp.clip(jnp.ceil(sf * l1 / scale), 1, cw)
+        return h, w
+
+    def score(scale):
+        h, w = dims_at(scale)
+        return jnp.sum(h * w)
+
+    if target <= 0:
+        # pixel_num == 0 simulates 2DGS: one texel per Gaussian
+        # (gstex.py:204-206)
+        hw = jnp.ones((l0.shape[0], 2), jnp.int32)
+        mappings = jnp.stack([1.0 / (2 * sf * l0), 1.0 / (2 * sf * l1)], -1)
+        ps = pixel_scale if pixel_scale is not None else jnp.float32(10.0)
+        return hw, mappings, ps
+
+    if update_pixel_scale or pixel_scale is None:
+        lo = jnp.float32(10.0)
+        hi = jnp.sqrt(jnp.sum(sf * sf * l0 * l1) / target)
+        tol = 1e-3
+
+        def body(i, carry):
+            lo, hi, mid = carry
+            s = score(mid)
+            too_few = s < (1 - tol) * target
+            done = jnp.logical_and(~too_few, s <= (1 + tol) * target)
+            new_lo = jnp.where(too_few, mid, lo)
+            new_hi = jnp.where(too_few, hi, mid)
+            new_mid = jnp.where(done, mid, 0.5 * (new_lo + new_hi))
+            return (jnp.where(done, lo, new_lo), jnp.where(done, hi, new_hi),
+                    new_mid)
+
+        mid0 = 0.5 * (lo + hi)
+        _, _, scale = jax.lax.fori_loop(0, 31, body, (lo, hi, mid0))
+    else:
+        scale = pixel_scale
+
+    h, w = dims_at(scale)
+    hw = jnp.stack([h, w], axis=-1).astype(jnp.int32)
+    mappings = jnp.stack([1.0 / (2.0 * sf * l0), 1.0 / (2.0 * sf * l1)],
+                         axis=-1)
+    return hw, mappings, scale
+
+
+def resample_charts(texture: jax.Array, old_hw: jax.Array,
+                    new_hw: jax.Array) -> jax.Array:
+    """Bilinear-resample every chart from its old active dims to new dims.
+
+    The dense-layout equivalent of ``JaggedTexture.init_from_dims`` +
+    ``texture_sample`` (``jagged_texture.py:116-143``): new texel (a,b) sits
+    at uv = (a/h', b/w') and samples the old chart. Texels outside the new
+    active region are zeroed.
+    """
+    n, ch, cw, c = texture.shape
+    aa, bb = jnp.meshgrid(jnp.arange(ch), jnp.arange(cw), indexing="ij")
+
+    def one(chart, ohw, nhw):
+        uv = jnp.stack([aa / nhw[0], bb / nhw[1]], axis=-1).astype(jnp.float32)
+        vals = chart_sample_bilinear(chart, ohw[0], ohw[1], uv)
+        active = jnp.logical_and(aa < nhw[0], bb < nhw[1])
+        return jnp.where(active[..., None], vals, 0.0)
+
+    return jax.vmap(one)(texture, old_hw, new_hw)
+
+
+def rechart(cfg: GStexConfig, params: GStexParams, buffers: GStexBuffers):
+    """The every-100-steps retexture callback (``gstex.py:890-895``):
+    re-budget charts, resample the texture, refresh mappings. Shapes are
+    static — no realloc, no recompilation."""
+    new_hw, mappings, scale = build_charts(cfg, params.log_scales)
+    new_texture = resample_charts(params.texture, buffers.texture_hw, new_hw)
+    params = params._replace(texture=new_texture)
+    buffers = buffers._replace(texture_hw=new_hw, mappings=mappings,
+                               pixel_scale=scale)
+    return params, buffers
+
+
+# ---------------------------------------------------------------------------
+# init
+# ---------------------------------------------------------------------------
+
+def init_params(
+    cfg: GStexConfig,
+    means: jax.Array,
+    log_scales2: jax.Array,
+    quats: jax.Array,
+    opacity_logits: jax.Array,
+    features_dc: jax.Array,
+    features_rest: jax.Array,
+    key: Optional[jax.Array] = None,
+) -> tuple[GStexParams, GStexBuffers]:
+    """Build params + buffers from raw (pre-activation) fields, e.g. a loaded
+    2DGS ply (``gstex.py:241-377``). The texture dc is initialized from
+    features_dc broadcast over each chart (``gstex.py:341-342`` clones
+    features_dc into the 1×1 charts, then ``build_charts`` resamples — which
+    replicates the dc across the chart)."""
+    n = means.shape[0]
+    ch, cw = cfg.chart_pad
+    hw, mappings, scale = build_charts(cfg, log_scales2)
+    texture = jnp.zeros((n, ch, cw, 3), jnp.float32)
+    # dc replicated across each active chart (what resampling a 1-texel chart
+    # produces in the reference)
+    aa, bb = jnp.meshgrid(jnp.arange(ch), jnp.arange(cw), indexing="ij")
+
+    def fill(dc, nhw):
+        active = jnp.logical_and(aa < nhw[0], bb < nhw[1])
+        return jnp.where(active[..., None], dc[None, None, :], 0.0)
+
+    texture = jax.vmap(fill)(features_dc, hw)
+    params = GStexParams(
+        means=jnp.asarray(means, jnp.float32),
+        log_scales=jnp.asarray(log_scales2, jnp.float32),
+        quats=jnp.asarray(quats, jnp.float32),
+        opacity_logits=jnp.asarray(opacity_logits, jnp.float32).reshape(n, 1),
+        features_dc=jnp.asarray(features_dc, jnp.float32),
+        features_rest=jnp.asarray(features_rest, jnp.float32),
+        texture=texture,
+    )
+    if key is None:
+        key = jax.random.key(0)
+    buffers = GStexBuffers(
+        texture_hw=hw,
+        mappings=mappings,
+        pixel_scale=jnp.asarray(scale, jnp.float32),
+        test_colors=jax.random.uniform(key, (n, 3)),
+    )
+    return params, buffers
+
+
+# ---------------------------------------------------------------------------
+# rendering
+# ---------------------------------------------------------------------------
+
+def render(
+    cfg: GStexConfig,
+    params: GStexParams,
+    buffers: GStexBuffers,
+    cam: Camera,
+    step,
+    background: jax.Array,
+    extra: bool = False,
+):
+    """Full forward render (``GStexModel.get_outputs``, ``gstex.py:992-1236``).
+
+    Returns the composited rgb plus raw maps. ``background`` is (3,).
+    """
+    prep = prepare_splats(
+        params.means, params.log_scales, params.quats, params.opacity_logits,
+        params.features_dc, params.features_rest, buffers.mappings, cam,
+        active_sh_degree=active_sh_degree(cfg, step),
+        sh_degree=cfg.sh_degree, fix_init=cfg.fix_init,
+        extent_sigma=cfg.sigma_factor)
+    grid = cfg.grid(cam.height, cam.width)
+    bins = build_tile_bins(prep.centers, prep.extents, prep.depths, prep.valid,
+                           grid, pair_cap=cfg.pair_cap, s_max=cfg.s_max)
+    # texture albedo: SH2RGB(texture_dc) when sh_degree>0, else sigmoid
+    # (gstex.py:1117-1121)
+    if cfg.sh_degree > 0:
+        texture = sh_ops.sh_to_rgb(params.texture)
+    else:
+        texture = jax.nn.sigmoid(params.texture)
+    maps = rasterize(prep.geom, texture, buffers.texture_hw, bins, cam, grid,
+                     extra_channels=extra)
+    rgb = maps["img"] + maps["texture_rgb"] + (
+        1.0 - maps["alpha"][..., None]) * background[None, None, :]
+    rgb = jnp.clip(rgb, 0.0, 1.0)  # gstex.py:1204-1205
+    out = dict(maps)
+    out["rgb"] = rgb
+    out["background"] = background
+    out["overflow"] = bins.overflow
+    out["total_pairs"] = bins.total_pairs
+    return out
+
+
+def composite_gt(image: jax.Array, background: jax.Array) -> jax.Array:
+    """Alpha-composite RGBA ground truth over the background
+    (``gstex.py:1249-1260``)."""
+    if image.shape[-1] == 4:
+        a = image[..., 3:4]
+        return a * image[..., :3] + (1 - a) * background[None, None, :]
+    return image
+
+
+def loss_fn(cfg: GStexConfig, outputs: dict, gt_rgb: jax.Array, step,
+            mask: Optional[jax.Array] = None):
+    """0.8·L1 + 0.2·(1−SSIM) + normal + reg (``gstex.py:1277-1322``)."""
+    pred = outputs["rgb"]
+    gt = gt_rgb
+    if mask is not None:
+        pred = pred * mask
+        gt = gt * mask
+    l1 = jnp.mean(jnp.abs(gt - pred))
+    simloss = 1.0 - ssim_ops.ssim(gt, pred)
+    lam_n = schedule_value(cfg.lambda_normal, step)
+    lam_r = schedule_value(cfg.lambda_reg, step)
+    # normal loss: mean(α − n·n̂); with use_normal_loss off the estimated
+    # normal IS the rendered normal (gstex.py:1218-1222,1316)
+    normal_loss = lam_n * jnp.mean(
+        outputs["alpha"]
+        - jnp.sum(outputs["normal"] * outputs["normal"], axis=-1))
+    reg_loss = lam_r * jnp.mean(outputs["reg"])
+    main = (1.0 - cfg.ssim_lambda) * l1 + cfg.ssim_lambda * simloss
+    total = main + normal_loss + reg_loss
+    return total, {"main_loss": main, "l1": l1, "ssim_loss": simloss,
+                   "normal_loss": normal_loss, "reg_loss": reg_loss}
+
+
+def texel_count(buffers: GStexBuffers) -> jax.Array:
+    """Σ h·w — the ``texel_count`` metric (``gstex.py:1394``)."""
+    return jnp.sum(buffers.texture_hw[:, 0] * buffers.texture_hw[:, 1])
+
+
+def sample_background(cfg: GStexConfig, key: jax.Array) -> jax.Array:
+    """Per-step training background (``gstex.py:1012-1018``)."""
+    if cfg.background_color == "random":
+        return jax.random.uniform(key, (3,))
+    if cfg.background_color == "white":
+        return jnp.ones((3,))
+    return jnp.zeros((3,))

@@ -1,0 +1,91 @@
+"""Jitted training / eval steps (single-device path).
+
+The functional replacement of ``Trainer.train_iteration`` (reference
+``nerfstudio/engine/trainer.py:442-486``): one full-image camera per step,
+loss = 0.8·L1 + 0.2·(1−SSIM) (+ optional regularizers), per-group Adam via
+optax.multi_transform. The re-chart callback (every 100 steps,
+``gstex.py:890-895``) is a separate jitted function — shapes never change.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from ..models import gstex as model
+from ..ops.camera import Camera
+from . import optim
+
+
+class TrainState(NamedTuple):
+    params: model.GStexParams
+    buffers: model.GStexBuffers
+    opt_state: optax.OptState
+    step: jax.Array  # () int32
+    key: jax.Array
+
+
+def init_state(cfg: model.GStexConfig, ocfg: optim.OptimConfig,
+               params: model.GStexParams, buffers: model.GStexBuffers,
+               key) -> tuple[TrainState, optax.GradientTransformation]:
+    tx = optim.make_optimizer(ocfg)
+    opt_state = tx.init(params)
+    return TrainState(params, buffers, opt_state,
+                      jnp.int32(0), key), tx
+
+
+def make_train_step(cfg: model.GStexConfig, tx: optax.GradientTransformation):
+    """Returns jitted (state, cam, image) -> (state, metrics)."""
+
+    def step_fn(state: TrainState, cam: Camera, image: jax.Array):
+        key, bg_key = jax.random.split(state.key)
+        background = model.sample_background(cfg, bg_key)
+        gt = model.composite_gt(image, background)
+
+        def loss_of(params):
+            outputs = model.render(cfg, params, state.buffers, cam,
+                                   state.step, background)
+            total, parts = model.loss_fn(cfg, outputs, gt, state.step)
+            return total, (parts, outputs)
+
+        (loss, (parts, outputs)), grads = jax.value_and_grad(
+            loss_of, has_aux=True)(state.params)
+        updates, opt_state = tx.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        metrics = dict(parts)
+        metrics["loss"] = loss
+        metrics["overflow"] = outputs["overflow"]
+        metrics["total_pairs"] = outputs["total_pairs"]
+        metrics["psnr"] = 10.0 * -jnp.log10(
+            jnp.maximum(jnp.mean((outputs["rgb"] - gt) ** 2), 1e-12))
+        new_state = TrainState(params, state.buffers, opt_state,
+                               state.step + 1, key)
+        return new_state, metrics
+
+    return jax.jit(step_fn, donate_argnums=(0,))
+
+
+def make_rechart_step(cfg: model.GStexConfig):
+    """Returns jitted re-chart: resize charts + zero texture Adam moments
+    (``retexture_after``, ``gstex.py:890-895``)."""
+
+    def fn(state: TrainState):
+        params, buffers = model.rechart(cfg, state.params, state.buffers)
+        opt_state = optim.reset_texture_moments(state.opt_state)
+        return state._replace(params=params, buffers=buffers,
+                              opt_state=opt_state)
+
+    return jax.jit(fn, donate_argnums=(0,))
+
+
+def make_eval_step(cfg: model.GStexConfig, extra: bool = False):
+    """Returns jitted (state, cam, background) -> outputs dict (no grad)."""
+
+    def fn(state: TrainState, cam: Camera, background):
+        return model.render(cfg, state.params, state.buffers, cam,
+                            state.step, background, extra=extra)
+
+    return jax.jit(fn, static_argnames=())

@@ -1,0 +1,81 @@
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from gstex_tpu.data.synthetic import orbit_camera, random_scene
+from gstex_tpu.ops.binning import TileGrid, build_tile_bins, get_num_tiles_hit
+from gstex_tpu.ops.camera import viewmat_from_c2w
+from gstex_tpu.ops.prepare import prepare_splats
+
+
+def _prepared(n=64, h=48, w=64):
+    scene = random_scene(jax.random.key(0), n)
+    cam = orbit_camera(h, w)
+    prep = prepare_splats(
+        scene["means"], scene["log_scales"], scene["quats"],
+        scene["opacity_logits"], scene["features_dc"], scene["features_rest"],
+        scene["mappings"], cam, active_sh_degree=3)
+    return scene, cam, prep
+
+
+def test_bins_reference_bruteforce():
+    scene, cam, prep = _prepared()
+    grid = TileGrid(height=48, width=64, tile_h=16, tile_w=16)
+    bins = build_tile_bins(prep.centers, prep.extents, prep.depths, prep.valid,
+                           grid, pair_cap=4096, s_max=64)
+
+    centers = np.asarray(prep.centers)
+    extents = np.asarray(prep.extents)
+    depths = np.asarray(prep.depths)
+    valid = np.asarray(prep.valid) & (depths > 1e-6)
+
+    # brute-force expected per-tile lists
+    expected = {t: [] for t in range(grid.num_tiles)}
+    for g in range(centers.shape[0]):
+        if not valid[g]:
+            continue
+        tx0 = int(np.clip(np.floor((centers[g, 0] - extents[g, 0]) / 16), 0, grid.ntx))
+        tx1 = int(np.clip(np.floor((centers[g, 0] + extents[g, 0]) / 16) + 1, 0, grid.ntx))
+        ty0 = int(np.clip(np.floor((centers[g, 1] - extents[g, 1]) / 16), 0, grid.nty))
+        ty1 = int(np.clip(np.floor((centers[g, 1] + extents[g, 1]) / 16) + 1, 0, grid.nty))
+        for ty in range(ty0, ty1):
+            for tx in range(tx0, tx1):
+                expected[ty * grid.ntx + tx].append(g)
+    for t in expected:
+        expected[t].sort(key=lambda g: (depths[g], g))
+
+    ids = np.asarray(bins.ids)
+    mask = np.asarray(bins.mask)
+    assert int(bins.overflow) == 0
+    for t in range(grid.num_tiles):
+        got = list(ids[t][mask[t]])
+        assert got == expected[t], f"tile {t}"
+    total_expected = sum(len(v) for v in expected.values())
+    assert int(bins.total_pairs) == total_expected
+
+
+def test_num_tiles_hit_matches_counts():
+    scene, cam, prep = _prepared()
+    grid = TileGrid(height=48, width=64, tile_h=16, tile_w=16)
+    hits = get_num_tiles_hit(prep.centers, prep.extents, grid, prep.valid)
+    bins = build_tile_bins(prep.centers, prep.extents, prep.depths, prep.valid,
+                           grid, pair_cap=4096, s_max=64)
+    assert int(hits.sum()) == int(bins.total_pairs)
+
+
+def test_overflow_counted():
+    scene, cam, prep = _prepared()
+    grid = TileGrid(height=48, width=64, tile_h=16, tile_w=16)
+    full = build_tile_bins(prep.centers, prep.extents, prep.depths, prep.valid,
+                           grid, pair_cap=4096, s_max=64)
+    cap_pairs = build_tile_bins(prep.centers, prep.extents, prep.depths,
+                                prep.valid, grid, pair_cap=64, s_max=64)
+    assert int(cap_pairs.overflow) > 0
+    # s_max truncation keeps the front-to-back prefix of each tile list
+    trunc = build_tile_bins(prep.centers, prep.extents, prep.depths, prep.valid,
+                            grid, pair_cap=4096, s_max=4)
+    assert int(trunc.overflow) > 0
+    for t in range(grid.num_tiles):
+        got = np.asarray(trunc.ids[t])[np.asarray(trunc.mask[t])]
+        ref = np.asarray(full.ids[t])[np.asarray(full.mask[t])][: len(got)]
+        np.testing.assert_array_equal(got, ref)

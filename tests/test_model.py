@@ -1,0 +1,131 @@
+"""Model layer: chart budgeting, re-charting, rendering, loss, train step."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from gstex_tpu.data.synthetic import orbit_camera, random_scene
+from gstex_tpu.models import gstex as model
+from gstex_tpu.train import optim, step as train_step
+
+CFG = model.GStexConfig(chart_pad=(8, 8), tile_h=8, tile_w=16,
+                        pair_cap=1 << 14, s_max=64, pixel_num=2000)
+
+
+def make_model(n=64, seed=0):
+    scene = random_scene(jax.random.key(seed), n, chart_pad=CFG.chart_pad)
+    params, buffers = model.init_params(
+        CFG, scene["means"], scene["log_scales"], scene["quats"],
+        scene["opacity_logits"], scene["features_dc"], scene["features_rest"])
+    return params, buffers
+
+
+def test_chart_budget():
+    params, buffers = make_model(n=256)
+    total = int(model.texel_count(buffers))
+    # within 0.1% of the budget unless the pad cap binds (gstex.py:862)
+    hw = np.asarray(buffers.texture_hw)
+    capped = (hw[:, 0] == CFG.chart_pad[0]) | (hw[:, 1] == CFG.chart_pad[1])
+    if not capped.any():
+        assert abs(total - CFG.pixel_num) <= 0.005 * CFG.pixel_num + 256
+    assert (hw >= 1).all() and (hw[:, 0] <= CFG.chart_pad[0]).all()
+    # mappings = 1/(2·σf·l) (gstex.py:882-883)
+    l0 = np.exp(np.asarray(params.log_scales[:, 0]))
+    np.testing.assert_allclose(np.asarray(buffers.mappings[:, 0]),
+                               1.0 / (2 * 3.0 * l0), rtol=1e-5)
+
+
+def test_chart_budget_zero_is_2dgs():
+    cfg = model.GStexConfig(pixel_num=0, chart_pad=(8, 8))
+    scene = random_scene(jax.random.key(0), 32)
+    hw, mappings, _ = model.build_charts(cfg, scene["log_scales"])
+    assert (np.asarray(hw) == 1).all()
+
+
+def test_resample_identity():
+    # same dims -> exact texel recovery (the jagged_texture.py:23-34 alignment)
+    params, buffers = make_model()
+    out = model.resample_charts(params.texture, buffers.texture_hw,
+                                buffers.texture_hw)
+    hw = np.asarray(buffers.texture_hw)
+    tex = np.asarray(params.texture)
+    got = np.asarray(out)
+    for i in range(hw.shape[0]):
+        h, w = hw[i]
+        np.testing.assert_allclose(got[i, :h, :w], tex[i, :h, :w], atol=1e-6)
+        assert (got[i, h:, :] == 0).all() and (got[i, :, w:] == 0).all()
+
+
+def test_resample_constant_preserved():
+    # constant charts stay constant under any resize
+    cfg = CFG
+    n = 8
+    tex = jnp.ones((n, 8, 8, 3)) * jnp.arange(1, n + 1)[:, None, None, None]
+    old_hw = jnp.full((n, 2), 5, jnp.int32)
+    # zero inactive region first (invariant of the dense layout)
+    aa, bb = np.meshgrid(np.arange(8), np.arange(8), indexing="ij")
+    act = (aa < 5) & (bb < 5)
+    tex = tex * jnp.asarray(act[None, :, :, None])
+    new_hw = jnp.stack([jnp.arange(1, n + 1) % 8 + 1,
+                        jnp.arange(n) % 7 + 1], -1).astype(jnp.int32)
+    out = np.asarray(model.resample_charts(tex, old_hw, new_hw))
+    for i in range(n):
+        h, w = int(new_hw[i, 0]), int(new_hw[i, 1])
+        np.testing.assert_allclose(out[i, :h, :w], i + 1.0, rtol=1e-5)
+
+
+def test_render_and_loss():
+    params, buffers = make_model()
+    cam = orbit_camera(40, 48, dist=3.0)
+    out = model.render(CFG, params, buffers, cam, step=jnp.int32(2000),
+                       background=jnp.zeros(3))
+    assert out["rgb"].shape == (40, 48, 3)
+    assert float(out["alpha"].max()) > 0.1
+    assert int(out["overflow"]) == 0
+    gt = jnp.clip(out["rgb"] + 0.05, 0, 1)
+    total, parts = model.loss_fn(CFG, out, gt, step=jnp.int32(2000))
+    assert np.isfinite(float(total))
+    assert float(parts["l1"]) > 0
+
+
+def test_train_steps_reduce_loss():
+    params, buffers = make_model(n=48)
+    cam = orbit_camera(40, 48, dist=3.0)
+    # ground truth = render of a perturbed copy
+    gt = model.render(CFG, params, buffers, cam, step=jnp.int32(0),
+                      background=jnp.zeros(3))["rgb"]
+    key = jax.random.key(7)
+    params = params._replace(
+        means=params.means + 0.01 * jax.random.normal(key, params.means.shape))
+    ocfg = optim.OptimConfig(max_steps=200)
+    state, tx = train_step.init_state(CFG, ocfg, params, buffers,
+                                      jax.random.key(0))
+    cfg_black = model.GStexConfig(**{**CFG.__dict__, "background_color": "black"})
+    sfn = train_step.make_train_step(cfg_black, tx)
+    losses = []
+    for _ in range(12):
+        state, metrics = sfn(state, cam, gt)
+        losses.append(float(metrics["loss"]))
+    assert losses[-1] < losses[0], losses
+    assert np.isfinite(losses).all()
+
+
+def test_rechart_step_runs():
+    params, buffers = make_model(n=48)
+    ocfg = optim.OptimConfig()
+    state, tx = train_step.init_state(CFG, ocfg, params, buffers,
+                                      jax.random.key(0))
+    # dirty the texture moments
+    cam = orbit_camera(40, 48, dist=3.0)
+    sfn = train_step.make_train_step(CFG, tx)
+    gt = jnp.zeros((40, 48, 3))
+    state, _ = sfn(state, cam, gt)
+    rfn = train_step.make_rechart_step(CFG)
+    state2 = rfn(state)
+    # texture moments are zeroed (gstex.py:799-832)
+    tex_state = state2.opt_state.inner_states["texture_dc"]
+    leaves = jax.tree.leaves(tex_state)
+    big = [l for l in leaves if hasattr(l, "shape") and l.size > 100]
+    assert all(float(jnp.abs(l).max()) == 0.0 for l in big)
+    # budget still satisfied
+    assert int(model.texel_count(state2.buffers)) > 0
