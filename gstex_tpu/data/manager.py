@@ -1,0 +1,86 @@
+"""Full-image data manager: upfront cache + undistortion + camera sampling.
+
+Mirrors ``FullImageDatamanager`` (reference
+``nerfstudio/data/datamanagers/full_images_datamanager.py``): all images are
+loaded (threadpool), undistorted with cv2 where distortion params exist
+(``_undistort_image``, 366-517), cached as uint8 on host, and cameras are
+sampled randomly without replacement per epoch (316-363).
+"""
+
+from __future__ import annotations
+
+import concurrent.futures
+from dataclasses import dataclass, field
+
+import numpy as np
+
+from ..ops.camera import Camera, make_camera
+from .blender import ParsedDataset
+
+
+def _load_image(path) -> np.ndarray:
+    from PIL import Image
+
+    with Image.open(path) as im:
+        return np.asarray(im.convert("RGBA" if im.mode == "RGBA" else "RGB"))
+
+
+@dataclass
+class FullImageCache:
+    cameras: list
+    images: list  # uint8 (H,W,3|4)
+    rng: np.random.Generator = field(
+        default_factory=lambda: np.random.default_rng(0))
+    _unseen: list = field(default_factory=list)
+
+    @classmethod
+    def build(cls, parsed: ParsedDataset, seed: int = 0,
+              max_workers: int = 8) -> "FullImageCache":
+        dist = getattr(parsed, "distortion", None)
+
+        def load(i):
+            img = _load_image(parsed.image_filenames[i])
+            fx, fy = float(parsed.fx[i]), float(parsed.fy[i])
+            cx, cy = float(parsed.cx[i]), float(parsed.cy[i])
+            h, w = img.shape[:2]
+            if dist is not None and np.abs(dist[i]).sum() > 0:
+                import cv2
+
+                k1, k2, k3, k4, p1, p2 = [float(v) for v in dist[i]]
+                K = np.array([[fx, 0, cx], [0, fy, cy], [0, 0, 1]])
+                d = np.array([k1, k2, p1, p2, k3])
+                newK, _ = cv2.getOptimalNewCameraMatrix(K, d, (w, h), 0)
+                img = cv2.undistort(img, K, d, newCameraMatrix=newK)
+                fx, fy = float(newK[0, 0]), float(newK[1, 1])
+                cx, cy = float(newK[0, 2]), float(newK[1, 2])
+            cam = make_camera(fx, fy, cx, cy, img.shape[0], img.shape[1],
+                              parsed.c2ws[i])
+            return cam, np.ascontiguousarray(img)
+
+        n = len(parsed.image_filenames)
+        with concurrent.futures.ThreadPoolExecutor(max_workers) as ex:
+            results = list(ex.map(load, range(n)))
+        cams = [r[0] for r in results]
+        imgs = [r[1] for r in results]
+        return cls(cameras=cams, images=imgs,
+                   rng=np.random.default_rng(seed))
+
+    def __len__(self):
+        return len(self.cameras)
+
+    def next_train(self) -> tuple[Camera, np.ndarray]:
+        """Random without-replacement camera sampling
+        (``full_images_datamanager.py:316-363``)."""
+        if not self._unseen:
+            self._unseen = list(self.rng.permutation(len(self.cameras)))
+        i = int(self._unseen.pop())
+        return self.cameras[i], self.images[i]
+
+    def get(self, i: int) -> tuple[Camera, np.ndarray]:
+        return self.cameras[i], self.images[i]
+
+
+def image_to_float(img: np.ndarray) -> np.ndarray:
+    if img.dtype == np.uint8:
+        return img.astype(np.float32) / 255.0
+    return img.astype(np.float32)

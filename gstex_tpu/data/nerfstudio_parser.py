@@ -1,0 +1,124 @@
+"""nerfstudio transforms.json parser (COLMAP-processed datasets, e.g. DTU).
+
+Mirrors the reference Nerfstudio dataparser
+(``nerfstudio/data/dataparsers/nerfstudio_dataparser.py:85+``) for the
+settings the gstex configs use (``gstex_configs.py:119-127``):
+``orientation_method="none"``, ``center_method="none"``,
+``auto_scale_poses=False``, ``downscale_factor``, eval mode fraction /
+interval / filename / all, ``applied_transform``, 3D seed points from a
+referenced ply or ``colmap/points3D``. Distortion params are carried for
+cv2 undistortion at cache time (``full_images_datamanager.py:366-517``).
+"""
+
+from __future__ import annotations
+
+import json
+from pathlib import Path
+
+import numpy as np
+
+from .blender import ParsedDataset
+
+
+def _frame_val(meta, frame, key):
+    return frame.get(key, meta.get(key))
+
+
+def parse_nerfstudio(
+    data_dir,
+    split: str = "train",
+    downscale_factor: int = 1,
+    eval_mode: str = "interval",       # fraction | filename | interval | all
+    train_split_fraction: float = 0.9,
+    eval_interval: int = 8,
+    load_3d_points: bool = True,
+) -> ParsedDataset:
+    data_dir = Path(data_dir)
+    meta_path = data_dir / "transforms.json"
+    if not meta_path.exists():
+        meta_path = data_dir.parent / "transforms.json"
+        data_dir = data_dir.parent
+    meta = json.loads(meta_path.read_text())
+
+    frames = sorted(meta["frames"], key=lambda fr: fr["file_path"])
+    filenames, poses = [], []
+    fx, fy, cx, cy, hh, ww, dist = [], [], [], [], [], [], []
+    for frame in frames:
+        fp = Path(frame["file_path"])
+        if downscale_factor > 1:
+            # images_{d}/ convention (nerfstudio_dataparser.py:431)
+            cand = data_dir / f"images_{downscale_factor}" / fp.name
+            filenames.append(cand if cand.exists() else data_dir / fp)
+        else:
+            filenames.append(data_dir / fp)
+        poses.append(np.array(frame["transform_matrix"], np.float64))
+        fx.append(_frame_val(meta, frame, "fl_x"))
+        fy.append(_frame_val(meta, frame, "fl_y"))
+        cx.append(_frame_val(meta, frame, "cx"))
+        cy.append(_frame_val(meta, frame, "cy"))
+        hh.append(_frame_val(meta, frame, "h"))
+        ww.append(_frame_val(meta, frame, "w"))
+        dist.append([_frame_val(meta, frame, k) or 0.0
+                     for k in ("k1", "k2", "k3", "k4", "p1", "p2")])
+    poses = np.stack(poses)
+
+    if "applied_transform" in meta:
+        at = np.array(meta["applied_transform"], np.float64)
+        if at.shape == (3, 4):
+            at = np.concatenate([at, [[0, 0, 0, 1]]], 0)
+        poses = np.einsum("ij,njk->nik", at, poses)
+
+    m = len(filenames)
+    # train/eval split (nerfstudio_dataparser.py eval_mode handling)
+    idx = np.arange(m)
+    if eval_mode == "all":
+        sel = idx
+    elif eval_mode == "interval":
+        is_eval = idx % eval_interval == 0
+        sel = idx[~is_eval] if split == "train" else idx[is_eval]
+    elif eval_mode == "fraction":
+        n_train = int(np.ceil(m * train_split_fraction))
+        train_idx = np.linspace(0, m - 1, n_train).round().astype(int)
+        train_set = set(train_idx.tolist())
+        if split == "train":
+            sel = np.array(sorted(train_set))
+        else:
+            sel = np.array([i for i in idx if i not in train_set])
+    else:
+        raise ValueError(f"eval_mode {eval_mode}")
+
+    scale = 1.0 / downscale_factor
+    out = ParsedDataset(
+        image_filenames=[filenames[i] for i in sel],
+        c2ws=poses[sel][:, :3, :4].astype(np.float32),
+        fx=np.array([fx[i] for i in sel], np.float32) * scale,
+        fy=np.array([fy[i] for i in sel], np.float32) * scale,
+        cx=np.array([cx[i] for i in sel], np.float32) * scale,
+        cy=np.array([cy[i] for i in sel], np.float32) * scale,
+        heights=(np.array([hh[i] for i in sel], np.int64) * scale).astype(np.int64),
+        widths=(np.array([ww[i] for i in sel], np.int64) * scale).astype(np.int64),
+    )
+    out.distortion = np.array([dist[i] for i in sel], np.float32)  # type: ignore
+
+    if load_3d_points:
+        pts = rgb = None
+        if "ply_file_path" in meta:
+            from ..utils.ply import read_point_ply
+            pts, rgb = read_point_ply(data_dir / meta["ply_file_path"])
+        else:
+            colmap_dir = data_dir / "colmap" / "sparse" / "0"
+            if not colmap_dir.exists():
+                colmap_dir = data_dir / "colmap"
+            try:
+                from .colmap import read_points3d
+                p64, r8 = read_points3d(colmap_dir)
+                pts, rgb = p64.astype(np.float32), r8.astype(np.float32)
+            except (FileNotFoundError, OSError):
+                pass
+        if pts is not None:
+            if "applied_transform" in meta:
+                at = np.array(meta["applied_transform"], np.float64)[:3]
+                pts = (pts @ at[:, :3].T + at[:, 3]).astype(np.float32)
+            out.points_xyz = pts
+            out.points_rgb = rgb
+    return out

@@ -1,0 +1,193 @@
+"""Model initialization sources and export.
+
+Covers ``GStexModel.populate_modules``'s init paths (reference
+``nerfstudio/models/gstex.py:241-377``): pre-trained 2DGS ply (`init_ply`),
+npz dumps (`init_npz`), LOD point plys (`init_lod_ply`), seed points
+(COLMAP / dataparser metadata), and random init — plus the ``gstex-npz`` /
+``gstex-ply`` exports (``nerfstudio/scripts/exporter.py:42-108``).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from ..ops.quat import fix_init_points, fix_init_rotation, random_quats
+from ..ops.sh import num_sh_bases, rgb_to_sh, sh_to_rgb
+from ..utils import ply as ply_io
+
+
+def knn_mean_dist(points: np.ndarray, k: int = 3,
+                  chunk: int = 2048) -> np.ndarray:
+    """Mean distance to the k nearest neighbors (excluding self) — the scale
+    init of ``k_nearest_sklearn`` (``gstex.py:285-288,775-793``), brute-force
+    and chunked (no sklearn dependency on the accelerator path)."""
+    pts = jnp.asarray(points, jnp.float32)
+    n = pts.shape[0]
+    k_eff = min(k, max(n - 1, 1))
+
+    def chunk_dists(q):
+        d2 = jnp.sum((q[:, None, :] - pts[None, :, :]) ** 2, axis=-1)
+        # k+1 smallest (self included), drop the zero self-distance
+        neg_top, _ = jax.lax.top_k(-d2, k_eff + 1)
+        d = jnp.sqrt(jnp.maximum(-neg_top[:, 1:], 0.0))
+        return jnp.mean(d, axis=-1)
+
+    out = []
+    for i in range(0, n, chunk):
+        out.append(np.asarray(chunk_dists(pts[i:i + chunk])))
+    return np.concatenate(out)
+
+
+def raw_from_gaussian_ply(path, sh_degree: int = 3, fix_init: bool = False):
+    """2DGS ply -> raw parameter dict (``load_ply``, ``gstex.py:608-665``)."""
+    g = ply_io.read_gaussian_ply(path, sh_degree)
+    means = jnp.asarray(g["means"])
+    quats = jnp.asarray(g["quats"])
+    if fix_init:
+        means = fix_init_points(means)
+        quats = fix_init_rotation(quats)
+    return {
+        "means": means,
+        "log_scales": jnp.asarray(g["scales"][:, :2]),
+        "quats": quats,
+        "opacity_logits": jnp.asarray(g["opacity"]),
+        "features_dc": jnp.asarray(g["features_dc"]),
+        "features_rest": jnp.asarray(g["features_rest"]),
+    }
+
+
+def raw_from_npz(path):
+    """npz with xyz/colors/opacity/scaling/rotation (``gstex.py:261-270``)."""
+    d = np.load(path, allow_pickle=True)
+    colors = np.clip(255.0 * d["colors"], 1.0, 254.0)
+    return raw_from_points(d["xyz"], colors,
+                           opacity=d["opacity"], scales=d["scaling"][:, :2],
+                           quats=d["rotation"])
+
+
+def raw_from_points(points, colors_255, sh_degree: int = 3, key=None,
+                    opacity=None, scales=None, quats=None,
+                    fix_init_pts: bool = False):
+    """Seed-point init (``gstex.py:278-331``): scales from 3-NN mean distance,
+    opacity logit(0.1), random quats, dc = RGB2SH(color/255), rest zero."""
+    points = np.asarray(points, np.float32)
+    if fix_init_pts:
+        points = np.asarray(fix_init_points(jnp.asarray(points)))
+    n = points.shape[0]
+    if key is None:
+        key = jax.random.key(0)
+    if scales is None:
+        avg = knn_mean_dist(points)
+        scales = np.log(np.maximum(avg, 1e-7))[:, None].repeat(2, 1)
+    if quats is None:
+        quats = random_quats(key, n)
+    if opacity is None:
+        opacity = np.full((n, 1), np.log(0.1 / 0.9), np.float32)  # logit(0.1)
+    dim_sh = num_sh_bases(sh_degree)
+    dc = np.asarray(rgb_to_sh(jnp.asarray(colors_255, jnp.float32) / 255.0))
+    return {
+        "means": jnp.asarray(points),
+        "log_scales": jnp.asarray(scales, jnp.float32),
+        "quats": jnp.asarray(quats, jnp.float32),
+        "opacity_logits": jnp.asarray(opacity, jnp.float32).reshape(n, 1),
+        "features_dc": jnp.asarray(dc, jnp.float32),
+        "features_rest": jnp.zeros((n, dim_sh - 1, 3), jnp.float32),
+    }
+
+
+def raw_random(num: int, scale: float = 2.0, key=None, sh_degree: int = 3):
+    """Random init (``gstex.py:281,299-301,330``)."""
+    if key is None:
+        key = jax.random.key(0)
+    k1, k2, k3 = jax.random.split(key, 3)
+    points = (jax.random.uniform(k1, (num, 3)) - 0.5) * scale
+    colors = 255.0 * jax.random.uniform(k2, (num, 3))
+    raw = raw_from_points(np.asarray(points), np.asarray(colors),
+                          sh_degree=sh_degree, key=k3)
+    return raw
+
+
+# ---------------------------------------------------------------------------
+# export (exporter.py parity)
+# ---------------------------------------------------------------------------
+
+def average_chart_colors(texture, texture_hw, sh_degree: int = 3):
+    """Per-Gaussian mean albedo over the active chart
+    (``get_average_colors``, ``gstex.py:714-726``)."""
+    n, ch, cw, _ = texture.shape
+    aa, bb = jnp.meshgrid(jnp.arange(ch), jnp.arange(cw), indexing="ij")
+    active = jnp.logical_and(aa[None] < texture_hw[:, 0, None, None],
+                             bb[None] < texture_hw[:, 1, None, None])
+    vals = sh_to_rgb(texture) if sh_degree > 0 else jax.nn.sigmoid(texture)
+    s = jnp.sum(vals * active[..., None], axis=(1, 2))
+    cnt = jnp.sum(active, axis=(1, 2))[:, None]
+    return s / jnp.maximum(cnt, 1)
+
+
+def export_npz(path, params, buffers, sh_degree: int = 3):
+    """Full parameter dump (``gstex-npz``, ``exporter.py``): raw params plus
+    the flat jagged texture + dims for reference-format compatibility."""
+    hw = np.asarray(buffers.texture_hw)
+    hws = hw[:, 0] * hw[:, 1]
+    offsets = np.cumsum(hws) - hws
+    tex = np.asarray(params.texture)
+    flat = np.zeros((int(hws.sum()), 3), np.float32)
+    for i in range(hw.shape[0]):
+        h, w = hw[i]
+        flat[offsets[i]:offsets[i] + h * w] = tex[i, :h, :w].reshape(-1, 3)
+    np.savez(
+        path,
+        xyz=np.asarray(params.means),
+        scaling=np.asarray(params.log_scales),
+        rotation=np.asarray(params.quats),
+        opacity=np.asarray(params.opacity_logits),
+        features_dc=np.asarray(params.features_dc),
+        features_rest=np.asarray(params.features_rest),
+        texture_dc=flat,
+        texture_dims=np.concatenate([hw, offsets[:, None]], 1).astype(np.int32),
+        mappings=np.asarray(buffers.mappings),
+        pixel_scale=np.asarray(buffers.pixel_scale),
+    )
+
+
+def export_ply(path, params, buffers, sh_degree: int = 3):
+    """Average-texture-color point cloud (``gstex-ply``, ``exporter.py:42-108``)."""
+    avg = np.asarray(average_chart_colors(params.texture, buffers.texture_hw,
+                                          sh_degree))
+    cols = np.clip(avg * 255.0, 0, 255)
+    ply_io.write_ply(path, {
+        "x": np.asarray(params.means[:, 0]),
+        "y": np.asarray(params.means[:, 1]),
+        "z": np.asarray(params.means[:, 2]),
+        "red": cols[:, 0], "green": cols[:, 1], "blue": cols[:, 2],
+    })
+
+
+def export_gaussian_ply(path, params, buffers, sh_degree: int = 3):
+    """2DGS-format gaussian ply round-trippable via ``raw_from_gaussian_ply``."""
+    fields = {
+        "x": np.asarray(params.means[:, 0]),
+        "y": np.asarray(params.means[:, 1]),
+        "z": np.asarray(params.means[:, 2]),
+        "nx": np.zeros(params.means.shape[0]),
+        "ny": np.zeros(params.means.shape[0]),
+        "nz": np.zeros(params.means.shape[0]),
+    }
+    dc = np.asarray(params.features_dc)
+    for i in range(3):
+        fields[f"f_dc_{i}"] = dc[:, i]
+    rest = np.asarray(params.features_rest)           # (N,K-1,3)
+    rest_cm = rest.transpose(0, 2, 1).reshape(rest.shape[0], -1)  # channel-major
+    for i in range(rest_cm.shape[1]):
+        fields[f"f_rest_{i}"] = rest_cm[:, i]
+    fields["opacity"] = np.asarray(params.opacity_logits[:, 0])
+    ls = np.asarray(params.log_scales)
+    for i in range(2):
+        fields[f"scale_{i}"] = ls[:, i]
+    q = np.asarray(params.quats)
+    for i in range(4):
+        fields[f"rot_{i}"] = q[:, i]
+    ply_io.write_ply(path, fields)

@@ -46,6 +46,7 @@ def render_oracle(
     dirs = pixel_ray_dirs(px_x, px_y, cam)                     # (H,W,3)
 
     tex_c = texture.shape[-1]
+    dt = jnp.result_type(texture.dtype, jnp.float32)
 
     def step(carry, i):
         T, broken, acc = carry
@@ -79,17 +80,17 @@ def render_oracle(
         return (T, broken, new_acc), None
 
     acc0 = {
-        "img": jnp.zeros((H, W, 3), jnp.float32),
-        "tex": jnp.zeros((H, W, tex_c), jnp.float32),
-        "depth": jnp.zeros((H, W), jnp.float32),
-        "alpha": jnp.zeros((H, W), jnp.float32),
-        "normal": jnp.zeros((H, W, 3), jnp.float32),
-        "reg": jnp.zeros((H, W), jnp.float32),
-        "m0": jnp.zeros((H, W), jnp.float32),
-        "m1": jnp.zeros((H, W), jnp.float32),
-        "uv": jnp.zeros((H, W, 3), jnp.float32),
+        "img": jnp.zeros((H, W, 3), dt),
+        "tex": jnp.zeros((H, W, tex_c), dt),
+        "depth": jnp.zeros((H, W), dt),
+        "alpha": jnp.zeros((H, W), dt),
+        "normal": jnp.zeros((H, W, 3), dt),
+        "reg": jnp.zeros((H, W), dt),
+        "m0": jnp.zeros((H, W), dt),
+        "m1": jnp.zeros((H, W), dt),
+        "uv": jnp.zeros((H, W, 3), dt),
     }
-    init = (jnp.ones((H, W), jnp.float32), jnp.zeros((H, W), bool), acc0)
+    init = (jnp.ones((H, W), dt), jnp.zeros((H, W), bool), acc0)
     (T, _, acc), _ = jax.lax.scan(step, init, order)
 
     out = {

@@ -1,0 +1,169 @@
+"""Trainer: the outer loop with step hooks, eval cadence, checkpoints.
+
+The functional replacement for nerfstudio's ``Trainer``
+(reference ``nerfstudio/engine/trainer.py:210-302``): a plain Python loop
+around the jitted train step. Nerfstudio's callback system
+(``engine/callbacks.py``) maps to explicit step hooks: re-chart every
+``build_chart_every`` (``gstex.py:906-914``), checkpoint every
+``steps_per_save``, eval cadences, event writing.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import time
+from pathlib import Path
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..data.manager import FullImageCache, image_to_float
+from ..models import gstex as model
+from ..utils import checkpoint as ckpt_io
+from ..utils import metrics as metrics_io
+from ..utils import profiler
+from ..utils.writer import Writer
+from . import optim, step as step_mod
+
+
+@dataclasses.dataclass
+class TrainerConfig:
+    """Mirrors the reference ``TrainerConfig`` (``engine/trainer.py:51-85``)."""
+
+    max_num_iterations: int = 15000
+    steps_per_save: int = 2000
+    steps_per_eval_image: int = 500
+    steps_per_eval_all_images: int = 0
+    save_only_latest_checkpoint: bool = True
+    seed: int = 42
+    output_dir: str = "outputs/unnamed"
+    load_checkpoint: Optional[str] = None
+    log_every: int = 10
+
+
+class Trainer:
+    def __init__(self, tcfg: TrainerConfig, mcfg: model.GStexConfig,
+                 ocfg: optim.OptimConfig, params, buffers,
+                 train_cache: FullImageCache,
+                 eval_cache: Optional[FullImageCache] = None):
+        self.tcfg = tcfg
+        self.mcfg = mcfg
+        self.train_cache = train_cache
+        self.eval_cache = eval_cache
+        self.out_dir = Path(tcfg.output_dir)
+        self.writer = Writer(self.out_dir)
+        self.state, self.tx = step_mod.init_state(
+            mcfg, ocfg, params, buffers, jax.random.key(tcfg.seed))
+        if tcfg.load_checkpoint:
+            self.state = ckpt_io.load_checkpoint(tcfg.load_checkpoint,
+                                                 self.state)
+            print(f"resumed from {tcfg.load_checkpoint} at step "
+                  f"{int(self.state.step)}")
+        self._train_step = step_mod.make_train_step(mcfg, self.tx)
+        self._rechart = step_mod.make_rechart_step(mcfg)
+        self._eval = step_mod.make_eval_step(mcfg)
+        self._img_cache: dict = {}
+
+    def train(self):
+        tcfg, mcfg = self.tcfg, self.mcfg
+        start = int(self.state.step)
+        t_last = time.time()
+        for step in range(start, tcfg.max_num_iterations):
+            cam, img = self.train_cache.next_train()
+            with profiler.time_section("train_iteration"):
+                gt = self._device_image(img)
+                self.state, metrics = self._train_step(self.state, cam, gt)
+
+            # AFTER_TRAIN_ITERATION hooks (gstex.py:901-923)
+            if (mcfg.build_chart_every > 0 and step > 0
+                    and step % mcfg.build_chart_every == 0):
+                with profiler.time_section("retexture_after"):
+                    self.state = self._rechart(self.state)
+
+            if step % tcfg.log_every == 0:
+                metrics = {k: float(v) for k, v in metrics.items()}
+                now = time.time()
+                rays_per_sec = (cam.height * cam.width * tcfg.log_every
+                                / max(now - t_last, 1e-6))
+                t_last = now
+                metrics["rays_per_sec"] = rays_per_sec
+                metrics["texel_count"] = float(
+                    model.texel_count(self.state.buffers))
+                self.writer.scalars(step, metrics)
+                if metrics.get("overflow", 0) > 0:
+                    print(f"WARNING step {step}: pair/list overflow "
+                          f"{int(metrics['overflow'])} — raise pair_cap/s_max")
+
+            if (tcfg.steps_per_eval_image > 0 and self.eval_cache
+                    and step % tcfg.steps_per_eval_image == 0):
+                self.eval_one(step)
+
+            if (tcfg.steps_per_save > 0 and step > 0
+                    and step % tcfg.steps_per_save == 0):
+                self.save()
+
+        self.save()
+        print(profiler.summary())
+        self.writer.close()
+
+    def _device_image(self, img: np.ndarray):
+        key = id(img)
+        if key not in self._img_cache:
+            self._img_cache[key] = jnp.asarray(image_to_float(img))
+        return self._img_cache[key]
+
+    def eval_one(self, step: int, idx: int = 0):
+        if self.eval_cache is None:
+            return {}
+        cam, img = self.eval_cache.get(idx % len(self.eval_cache))
+        bg = self._eval_background()
+        out = self._eval(self.state, cam, bg)
+        gt = model.composite_gt(self._device_image(img), bg)
+        m = metrics_io.image_metrics(out["rgb"], gt)
+        self.writer.scalars(step, {f"eval_{k}": v for k, v in m.items()})
+        self.writer.image(step, "eval_rgb", np.asarray(out["rgb"]))
+        return m
+
+    def eval_all(self, step: Optional[int] = None, save_images: bool = False):
+        """Mirror of ``get_average_eval_image_metrics``
+        (``pipelines/base_pipeline.py:346-410``): per-image metrics + fps."""
+        assert self.eval_cache is not None
+        bg = self._eval_background()
+        rows = []
+        t_render = 0.0
+        for i in range(len(self.eval_cache)):
+            cam, img = self.eval_cache.get(i)
+            t0 = time.perf_counter()
+            out = self._eval(self.state, cam, bg)
+            jax.block_until_ready(out["rgb"])
+            t_render += time.perf_counter() - t0
+            gt = model.composite_gt(self._device_image(img), bg)
+            rows.append(metrics_io.image_metrics(out["rgb"], gt))
+            if save_images:
+                self.writer.image(i, "eval_all_rgb", np.asarray(out["rgb"]))
+        agg = {k: float(np.mean([r[k] for r in rows])) for k in rows[0]}
+        agg.update({f"{k}_std": float(np.std([r[k] for r in rows]))
+                    for k in rows[0]})
+        agg["fps"] = len(rows) / t_render
+        agg["num_rays_per_sec"] = (len(rows) * cam.height * cam.width
+                                   / t_render)
+        agg["gaussian_count"] = float(self.state.params.means.shape[0])
+        agg["texel_count"] = float(model.texel_count(self.state.buffers))
+        agg["pixel_scale"] = float(self.state.buffers.pixel_scale)
+        return agg
+
+    def _eval_background(self):
+        if self.mcfg.background_color == "white":
+            return jnp.ones(3)
+        if self.mcfg.background_color == "black":
+            return jnp.zeros(3)
+        # viser default bg color (gstex.py:356-358)
+        return jnp.asarray([0.1490, 0.1647, 0.2157])
+
+    def save(self):
+        path = ckpt_io.save_checkpoint(
+            self.out_dir / "checkpoints", self.state,
+            keep_only_latest=self.tcfg.save_only_latest_checkpoint)
+        print(f"saved {path}")

@@ -1,0 +1,120 @@
+"""End-to-end: synthesize a tiny Blender-style dataset with the oracle-true
+renderer, then run the full CLI pipeline (train → eval → export) on it.
+
+The analog of the reference's experiment-runner integration tests
+(SURVEY.md §4.2) without dataset files.
+"""
+
+import json
+from pathlib import Path
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from gstex_tpu.data.synthetic import orbit_camera, random_scene
+from gstex_tpu.models import gstex as model
+
+H = W = 48
+
+
+@pytest.fixture(scope="module")
+def dataset_dir(tmp_path_factory):
+    """Render a ground-truth scene to PNGs + transforms jsons + init ply."""
+    from PIL import Image
+
+    from gstex_tpu.models import init_io
+
+    root = tmp_path_factory.mktemp("blender_scene")
+    cfg = model.GStexConfig(chart_pad=(4, 4), tile_h=8, tile_w=16,
+                            pair_cap=1 << 14, s_max=64, pixel_num=400,
+                            background_color="white")
+    scene = random_scene(jax.random.key(11), 40, chart_pad=(4, 4))
+    params, buffers = model.init_params(
+        cfg, scene["means"], scene["log_scales"], scene["quats"],
+        scene["opacity_logits"] + 2.0, scene["features_dc"],
+        scene["features_rest"] * 0.0)
+
+    for split, n_views, k0 in [("train", 6, 0), ("test", 2, 100)]:
+        (root / split).mkdir(exist_ok=True)
+        frames = []
+        for i in range(n_views):
+            az = 2 * np.pi * (i + 0.3 * (split == "test")) / n_views
+            cam = orbit_camera(H, W, dist=3.5, azimuth=az)
+            out = model.render(cfg, params, buffers, cam, step=jnp.int32(0),
+                               background=jnp.ones(3))
+            img = (np.clip(np.asarray(out["rgb"]), 0, 1) * 255).astype(np.uint8)
+            Image.fromarray(img).save(root / split / f"r_{i}.png")
+            c2w4 = np.eye(4)
+            c2w4[:3] = np.asarray(cam.c2w)
+            frames.append({"file_path": f"./{split}/r_{i}",
+                           "transform_matrix": c2w4.tolist()})
+        fx = float(cam.fx)
+        meta = {"camera_angle_x": 2 * np.arctan(0.5 * W / fx),
+                "frames": frames}
+        (root / f"transforms_{split}.json").write_text(json.dumps(meta))
+
+    init_io.export_gaussian_ply(root / "init.ply", params, buffers)
+    return root
+
+
+def test_cli_train_eval_export(dataset_dir, tmp_path):
+    from gstex_tpu.scripts import eval as eval_cli
+    from gstex_tpu.scripts import export as export_cli
+    from gstex_tpu.scripts import train as train_cli
+
+    out_dir = tmp_path / "run"
+    train_cli.main([
+        "gstex-blender-nvs", "--data", str(dataset_dir),
+        "--init-ply", str(dataset_dir / "init.ply"),
+        "--max-num-iterations", "30",
+        "--steps-per-save", "25",
+        "--steps-per-eval-image", "0",
+        "--pixel-num", "400",
+        "--output-dir", str(out_dir),
+    ])
+    assert (out_dir / "config.json").exists()
+    assert (out_dir / "eval.json").exists()
+    ckpts = list((out_dir / "checkpoints").glob("*.npz"))
+    assert len(ckpts) == 1
+    results = json.loads((out_dir / "eval.json").read_text())
+    # init came from the generating scene: reconstruction should be decent
+    assert results["psnr"] > 20, results
+
+    eval_cli.main(["--load-config", str(out_dir),
+                   "--output-path", str(tmp_path / "eval2.json")])
+    r2 = json.loads((tmp_path / "eval2.json").read_text())
+    assert r2["results"]["psnr"] > 20
+
+    export_cli.main(["gstex-npz", "--load-config", str(out_dir),
+                     "--output-path", str(tmp_path / "m.npz")])
+    d = np.load(tmp_path / "m.npz")
+    assert d["xyz"].shape[1] == 3
+
+    export_cli.main(["gaussian-ply", "--load-config", str(out_dir),
+                     "--output-path", str(tmp_path / "m.ply")])
+    assert (tmp_path / "m.ply").exists()
+
+
+def test_cli_resume(dataset_dir, tmp_path):
+    from gstex_tpu.scripts import train as train_cli
+
+    out1 = tmp_path / "run1"
+    train_cli.main([
+        "gstex-blender-nvs", "--data", str(dataset_dir),
+        "--init-ply", str(dataset_dir / "init.ply"),
+        "--max-num-iterations", "10", "--pixel-num", "400",
+        "--steps-per-eval-image", "0",
+        "--output-dir", str(out1)])
+    ckpt = next((out1 / "checkpoints").glob("*.npz"))
+    out2 = tmp_path / "run2"
+    train_cli.main([
+        "gstex-blender-nvs", "--data", str(dataset_dir),
+        "--init-ply", str(dataset_dir / "init.ply"),
+        "--max-num-iterations", "20", "--pixel-num", "400",
+        "--steps-per-eval-image", "0",
+        "--load-checkpoint", str(ckpt),
+        "--output-dir", str(out2)])
+    ckpt2 = next((out2 / "checkpoints").glob("*.npz"))
+    assert "step-000000019" in ckpt2.name or "step-000000020" in ckpt2.name

@@ -1,0 +1,96 @@
+"""PLY / npz / checkpoint IO round trips."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from gstex_tpu.data.synthetic import random_scene
+from gstex_tpu.models import gstex as model, init_io
+from gstex_tpu.train import optim, step as train_step
+from gstex_tpu.utils import checkpoint as ckpt_io
+from gstex_tpu.utils import ply as ply_io
+
+CFG = model.GStexConfig(chart_pad=(4, 4), pixel_num=300)
+
+
+def _params(n=16):
+    scene = random_scene(jax.random.key(0), n, chart_pad=CFG.chart_pad)
+    return model.init_params(
+        CFG, scene["means"], scene["log_scales"], scene["quats"],
+        scene["opacity_logits"], scene["features_dc"], scene["features_rest"])
+
+
+def test_ply_roundtrip(tmp_path):
+    params, buffers = _params()
+    path = tmp_path / "g.ply"
+    init_io.export_gaussian_ply(path, params, buffers)
+    raw = init_io.raw_from_gaussian_ply(path)
+    np.testing.assert_allclose(np.asarray(raw["means"]),
+                               np.asarray(params.means), atol=1e-6)
+    np.testing.assert_allclose(np.asarray(raw["quats"]),
+                               np.asarray(params.quats), atol=1e-6)
+    np.testing.assert_allclose(np.asarray(raw["features_rest"]),
+                               np.asarray(params.features_rest), atol=1e-6)
+    np.testing.assert_allclose(np.asarray(raw["log_scales"]),
+                               np.asarray(params.log_scales), atol=1e-6)
+
+
+def test_point_ply_roundtrip(tmp_path):
+    pts = np.random.default_rng(0).normal(size=(10, 3)).astype(np.float32)
+    cols = np.random.default_rng(1).uniform(0, 255, (10, 3)).astype(np.float32)
+    ply_io.write_ply(tmp_path / "p.ply", {
+        "x": pts[:, 0], "y": pts[:, 1], "z": pts[:, 2],
+        "red": cols[:, 0], "green": cols[:, 1], "blue": cols[:, 2]})
+    p2, c2 = ply_io.read_point_ply(tmp_path / "p.ply")
+    np.testing.assert_allclose(p2, pts, atol=1e-6)
+    np.testing.assert_allclose(c2, cols, atol=1e-4)
+
+
+def test_npz_export(tmp_path):
+    params, buffers = _params()
+    init_io.export_npz(tmp_path / "m.npz", params, buffers)
+    d = np.load(tmp_path / "m.npz")
+    hw = np.asarray(buffers.texture_hw)
+    assert d["texture_dc"].shape[0] == int((hw[:, 0] * hw[:, 1]).sum())
+    assert d["texture_dims"].shape == (16, 3)
+    # offsets are the exclusive cumsum of h*w (jagged_texture layout)
+    hws = d["texture_dims"][:, 0] * d["texture_dims"][:, 1]
+    np.testing.assert_array_equal(d["texture_dims"][:, 2],
+                                  np.cumsum(hws) - hws)
+
+
+def test_checkpoint_roundtrip(tmp_path):
+    params, buffers = _params()
+    state, tx = train_step.init_state(CFG, optim.OptimConfig(), params,
+                                      buffers, jax.random.key(5))
+    state = state._replace(step=jnp.int32(123))
+    path = ckpt_io.save_checkpoint(tmp_path, state)
+    assert path.name == "step-000000123.ckpt.npz"
+    state2, _ = train_step.init_state(CFG, optim.OptimConfig(), params,
+                                      buffers, jax.random.key(0))
+    restored = ckpt_io.load_checkpoint(path, state2)
+    assert int(restored.step) == 123
+    np.testing.assert_array_equal(np.asarray(restored.params.means),
+                                  np.asarray(state.params.means))
+    # rng key restored
+    k1 = jax.random.key_data(restored.key)
+    k2 = jax.random.key_data(state.key)
+    np.testing.assert_array_equal(np.asarray(k1), np.asarray(k2))
+
+
+def test_average_chart_colors():
+    params, buffers = _params()
+    avg = init_io.average_chart_colors(params.texture, buffers.texture_hw)
+    assert avg.shape == (16, 3)
+    # manual check for gaussian 0
+    hw = np.asarray(buffers.texture_hw)
+    from gstex_tpu.ops.sh import sh_to_rgb
+    t0 = np.asarray(sh_to_rgb(params.texture[0]))[:hw[0, 0], :hw[0, 1]]
+    np.testing.assert_allclose(np.asarray(avg[0]), t0.mean((0, 1)), rtol=1e-5)
+
+
+def test_knn_scale_init():
+    pts = np.array([[0, 0, 0], [1, 0, 0], [0, 1, 0], [0, 0, 1]], np.float32)
+    d = init_io.knn_mean_dist(pts, k=3)
+    expected0 = (1 + 1 + 1) / 3
+    np.testing.assert_allclose(d[0], expected0, rtol=1e-5)

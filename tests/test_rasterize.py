@@ -124,8 +124,14 @@ def test_gradients_match_oracle():
             assert np.abs(b).max() > 0, f"oracle grad {k} is all zero"
 
 
-def test_gradients_finite_difference():
-    # spot-check the custom VJP against fp64 central differences
+def test_gradients_fp64_exact():
+    """In fp64 the hand-derived VJP must equal oracle autodiff to ~1e-12.
+
+    (Finite differences are the wrong oracle here: the blend has genuine small
+    discontinuities — the α<1/255 cutoff, the 3σ support cut, the T-break —
+    shared with the CUDA reference semantics. Autodiff of the per-pixel
+    forward IS the exact derivative of the implemented function.)
+    """
     import contextlib
 
     @contextlib.contextmanager
@@ -144,25 +150,10 @@ def test_gradients_finite_difference():
         cot = {"img": jnp.ones((H, W, 3)), "texture_rgb": jnp.ones((H, W, 3)),
                "alpha": jnp.ones((H, W))}
 
-        def f(means):
-            s = dict(scene)
-            s["means"] = means
-            return _loss_tile(s, cam, cot)
-
-        g = jax.grad(f)(scene["means"])
-        rng = np.random.default_rng(0)
-        means = np.asarray(scene["means"], np.float64)
-        bad = 0
-        for _ in range(6):
-            i = rng.integers(0, means.shape[0])
-            j = rng.integers(0, 3)
-            eps = 1e-6
-            mp = means.copy(); mp[i, j] += eps
-            mm = means.copy(); mm[i, j] -= eps
-            fd = (float(f(jnp.asarray(mp))) - float(f(jnp.asarray(mm)))) / (2 * eps)
-            an = float(g[i, j])
-            # hard cutoffs (alpha<1/255, 3σ support, T break) make isolated
-            # coords non-differentiable; allow one outlier
-            if abs(fd - an) > 1e-3 * max(1.0, abs(fd), abs(an)):
-                bad += 1
-        assert bad <= 1, bad
+        g_tile = jax.grad(lambda m: _loss_tile({**scene, "means": m}, cam,
+                                               cot))(scene["means"])
+        g_oracle = jax.grad(lambda m: _loss_oracle({**scene, "means": m}, cam,
+                                                   cot))(scene["means"])
+        scale = float(jnp.abs(g_oracle).max()) + 1e-12
+        np.testing.assert_allclose(np.asarray(g_tile) / scale,
+                                   np.asarray(g_oracle) / scale, atol=1e-12)
