@@ -65,6 +65,7 @@ class GStexConfig:
     tile_w: int = 32
     pair_cap: int = 1 << 20
     s_max: int = 512
+    renderer: str = "xla"                 # xla | pallas | pallas_interpret
 
     def grid(self, height: int, width: int) -> TileGrid:
         return TileGrid(height=height, width=width,
@@ -267,8 +268,15 @@ def render(
         texture = sh_ops.sh_to_rgb(params.texture)
     else:
         texture = jax.nn.sigmoid(params.texture)
-    maps = rasterize(prep.geom, texture, buffers.texture_hw, bins, cam, grid,
-                     extra_channels=extra)
+    if cfg.renderer.startswith("pallas") and not extra:
+        from ..ops.rasterize_pallas_api import rasterize_pl
+
+        maps = rasterize_pl(prep.geom, texture, buffers.texture_hw, bins,
+                            cam, grid,
+                            interpret=cfg.renderer == "pallas_interpret")
+    else:
+        maps = rasterize(prep.geom, texture, buffers.texture_hw, bins, cam,
+                         grid, extra_channels=extra)
     rgb = maps["img"] + maps["texture_rgb"] + (
         1.0 - maps["alpha"][..., None]) * background[None, None, :]
     rgb = jnp.clip(rgb, 0.0, 1.0)  # gstex.py:1204-1205

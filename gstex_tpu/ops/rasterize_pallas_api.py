@@ -1,0 +1,92 @@
+"""Public Pallas rasterizer API: custom_vjp over the fused kernels.
+
+Drop-in replacement for ``rasterize.rasterize`` (same output dict), with the
+forward/backward implemented by the Pallas kernels. Gradients wrt geom and
+the dense chart tensor flow through the differentiable record builder /
+chart gather (XLA turns the pair-grad outputs into parameter scatter-adds).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .binning import TileBins, TileGrid
+from .camera import Camera
+from .surfel import SplatGeom
+from . import rasterize_pallas as rp
+from . import rasterize_pallas_bwd as rpb
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(0, 1, 2))
+def _core(grid: TileGrid, chart_pad, interpret, records_t, charts_g, counts,
+          cam_info):
+    maps, _ = rp.rasterize_pallas_fwd(
+        grid, chart_pad,
+        rp.PallasInputs(records_t, charts_g, counts, cam_info),
+        interpret=interpret)
+    return _repack(maps)
+
+
+def _repack(maps):
+    return jnp.concatenate([maps[n] for n in rp.CH_NAMES], axis=1)
+
+
+def _core_fwd(grid, chart_pad, interpret, records_t, charts_g, counts,
+              cam_info):
+    maps, ncontrib = rp.rasterize_pallas_fwd(
+        grid, chart_pad,
+        rp.PallasInputs(records_t, charts_g, counts, cam_info),
+        interpret=interpret)
+    out = _repack(maps)
+    return out, (records_t, charts_g, counts, cam_info, out, ncontrib)
+
+
+def _core_bwd(grid, chart_pad, interpret, res, g_out):
+    records_t, charts_g, counts, cam_info, out, ncontrib = res
+    gmaps = g_out[:, : rpb.NG * 8, :]   # cotangents of the 12 real channels
+    d_records, d_charts = rpb.rasterize_pallas_bwd(
+        grid, chart_pad, counts, cam_info, records_t, charts_g, out,
+        ncontrib, gmaps, interpret=interpret)
+    return (d_records, d_charts,
+            np.zeros(counts.shape, jax.dtypes.float0),
+            jnp.zeros_like(cam_info))
+
+
+_core.defvjp(_core_fwd, _core_bwd)
+
+
+def rasterize_pl(
+    geom: SplatGeom,
+    texture: jax.Array,
+    texture_hw: jax.Array,
+    bins: TileBins,
+    cam: Camera,
+    grid: TileGrid,
+    px_offset=None,
+    interpret: bool = False,
+):
+    """Pallas-path render; same outputs as ``rasterize.rasterize``."""
+    chart_pad = (texture.shape[1], texture.shape[2])
+    packed = rp.pack_charts(texture)
+    inputs = rp.prepare_pallas_inputs(geom, packed, texture_hw, bins, cam,
+                                      px_offset)
+    out = _core(grid, chart_pad, interpret, inputs.records_t, inputs.charts_g,
+                inputs.counts, inputs.cam_info)
+
+    def ch(name):
+        i = rp.CH_NAMES.index(name)
+        return rp.untile_packed(out[:, i * 8:(i + 1) * 8, :], grid)
+
+    return {
+        "img": jnp.stack([ch("img0"), ch("img1"), ch("img2")], axis=-1),
+        "texture_rgb": jnp.stack([ch("tex0"), ch("tex1"), ch("tex2")],
+                                 axis=-1),
+        "depth": ch("depth"),
+        "alpha": ch("alpha"),
+        "normal": jnp.stack([ch("n0"), ch("n1"), ch("n2")], axis=-1),
+        "reg": ch("reg"),
+    }

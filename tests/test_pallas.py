@@ -1,0 +1,89 @@
+"""Pallas kernels vs the XLA tile renderer: outputs and gradients.
+
+Runs the kernels in interpreter mode on CPU (SURVEY.md §4.1 dual-impl
+strategy): the fused fwd/bwd must match the XLA tier — which itself matches
+the per-pixel oracle — for every map and every input gradient.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from gstex_tpu.data.synthetic import orbit_camera, random_scene
+from gstex_tpu.ops.binning import TileGrid, build_tile_bins
+from gstex_tpu.ops.prepare import prepare_splats
+from gstex_tpu.ops.rasterize import rasterize
+from gstex_tpu.ops.rasterize_pallas_api import rasterize_pl
+
+H, W = 64, 96
+GRID = TileGrid(height=H, width=W, tile_h=32, tile_w=32)
+PAD = (4, 4)
+
+
+def setup(n=64, seed=0):
+    scene = random_scene(jax.random.key(seed), n, chart_pad=PAD)
+    cam = orbit_camera(H, W, dist=3.0)
+    return scene, cam
+
+
+def prep_and_bins(scene, cam, s_max=64):
+    prep = prepare_splats(
+        scene["means"], scene["log_scales"], scene["quats"],
+        scene["opacity_logits"], scene["features_dc"], scene["features_rest"],
+        scene["mappings"], cam, active_sh_degree=3)
+    bins = build_tile_bins(prep.centers, prep.extents, prep.depths, prep.valid,
+                           GRID, pair_cap=8192, s_max=s_max)
+    return prep, bins
+
+
+def test_pallas_forward_matches_xla():
+    scene, cam = setup()
+    prep, bins = prep_and_bins(scene, cam)
+    assert int(bins.overflow) == 0
+    out_pl = rasterize_pl(prep.geom, scene["texture"], scene["texture_hw"],
+                          bins, cam, GRID, interpret=True)
+    out_xla = rasterize(prep.geom, scene["texture"], scene["texture_hw"],
+                        bins, cam, GRID)
+    for k in ["img", "texture_rgb", "depth", "alpha", "normal", "reg"]:
+        np.testing.assert_allclose(np.asarray(out_pl[k]),
+                                   np.asarray(out_xla[k]),
+                                   atol=2e-5, rtol=1e-4, err_msg=k)
+    assert float(out_pl["alpha"].max()) > 0.3
+
+
+def _loss(render_fn, scene, cam, cot, s_max=64):
+    prep, bins = prep_and_bins(scene, cam, s_max)
+    out = render_fn(prep.geom, scene["texture"], scene["texture_hw"],
+                    bins, cam, GRID)
+    return sum(jnp.sum(out[k] * cot[k]) for k in cot)
+
+
+def test_pallas_gradients_match_xla():
+    scene, cam = setup(n=48, seed=3)
+    ks = jax.random.split(jax.random.key(9), 6)
+    cot = {
+        "img": jax.random.normal(ks[0], (H, W, 3)),
+        "texture_rgb": jax.random.normal(ks[1], (H, W, 3)),
+        "depth": 0.1 * jax.random.normal(ks[2], (H, W)),
+        "alpha": jax.random.normal(ks[3], (H, W)),
+        "normal": 0.1 * jax.random.normal(ks[4], (H, W, 3)),
+        "reg": 0.1 * jax.random.normal(ks[5], (H, W)),
+    }
+    diff_keys = ["means", "log_scales", "quats", "opacity_logits",
+                 "features_dc", "features_rest", "texture"]
+    rest = {k: scene[k] for k in scene if k not in diff_keys}
+    diff = {k: scene[k] for k in diff_keys}
+
+    pl_fn = lambda g, t, hw, b, c, gr: rasterize_pl(g, t, hw, b, c, gr,
+                                                    interpret=True)
+    g_pl = jax.grad(lambda d: _loss(pl_fn, {**d, **rest}, cam, cot))(diff)
+    g_xla = jax.grad(lambda d: _loss(rasterize, {**d, **rest}, cam, cot))(diff)
+
+    for k in diff_keys:
+        a, b = np.asarray(g_pl[k]), np.asarray(g_xla[k])
+        scale = np.abs(b).max() + 1e-8
+        np.testing.assert_allclose(a / scale, b / scale, atol=3e-4,
+                                   err_msg=f"grad {k}")
+        if k not in ("features_dc",):
+            assert np.abs(b).max() > 0, f"xla grad {k} all zero"
