@@ -58,6 +58,7 @@ class GStexConfig:
     background_color: str = "random"   # random | black | white
     lambda_normal: Union[float, Sequence[float]] = 0.0
     lambda_reg: Union[float, Sequence[float]] = 0.0
+    use_normal_loss: bool = False
     fix_init: bool = False
     # TPU-specific
     chart_pad: tuple[int, int] = (8, 8)   # dense chart padding (Ch, Cw)
@@ -285,7 +286,102 @@ def render(
     out["background"] = background
     out["overflow"] = bins.overflow
     out["total_pairs"] = bins.total_pairs
+    if cfg.use_normal_loss:
+        from ..ops.normals import depth_to_normal
+
+        out["estimated_normals"] = jax.lax.stop_gradient(
+            depth_to_normal(maps["depth"], cam))
     return out
+
+
+def render_eval_images(
+    cfg: GStexConfig,
+    params: GStexParams,
+    buffers: GStexBuffers,
+    cam: Camera,
+    step,
+    background: jax.Array,
+    edit_texture: jax.Array | None = None,
+):
+    """The full eval image set (``gstex.py:1174-1235``): rgb, depth,
+    accumulation, test (threshold-opacity random colors), uv visualization,
+    edit overlay, clean normals, only_rgb / only_texture."""
+    outputs = render(cfg, params, buffers, cam, step, background, extra=True)
+    bg = background[None, None, :]
+    alpha1 = outputs["alpha"][..., None]
+
+    # test render: random per-gaussian colors, opacities thresholded at 0.5
+    # (gstex.py:1188-1194: <=0.5 zeroed first, then >0.2 of the zeroed tensor
+    # promoted — net effect: 1 if >0.5 else 0)
+    test_logits = jnp.where(
+        jax.nn.sigmoid(params.opacity_logits) > 0.5, 40.0, -40.0)
+    test_params = params._replace(opacity_logits=test_logits)
+    tmaps = _test_color_img(cfg, test_params, buffers, cam, step)
+    test_img = jnp.clip(
+        tmaps["img"] + (1.0 - tmaps["alpha"][..., None]) * bg, 0.0, 1.0)
+
+    uv_im = jnp.clip(outputs["uv"] + (1.0 - alpha1) * bg, 0.0, 1.0)
+
+    images = {
+        "rgb": outputs["rgb"],
+        "depth": outputs["depth"][..., None],
+        "accumulation": alpha1,
+        "test": test_img,
+        "uv": uv_im,
+        "only_rgb": jnp.clip(outputs["img"] + 0.5, 0.0, 1.0),
+        "only_texture": jnp.clip(outputs["texture_rgb"], 0.0, 1.0),
+        "clean_normal_img": jnp.clip(
+            0.5 * (outputs["normal"] + 1.0) + (1.0 - alpha1) * bg, 0.0, 1.0),
+        "normal_im": outputs["normal"],
+        "reg": outputs["reg"][..., None],
+        "background": background,
+    }
+    if edit_texture is not None:
+        # edit overlay render (settings bit 15 path, gstex.py:1198-1200):
+        # re-render the texture term with the edited albedo
+        from ..ops.binning import build_tile_bins as _btb
+        from ..ops.prepare import prepare_splats as _ps
+        from ..ops.rasterize import rasterize as _rast
+
+        prep = _ps(params.means, params.log_scales, params.quats,
+                   params.opacity_logits, params.features_dc,
+                   params.features_rest, buffers.mappings, cam,
+                   active_sh_degree=active_sh_degree(cfg, step),
+                   sh_degree=cfg.sh_degree, fix_init=cfg.fix_init,
+                   extent_sigma=cfg.sigma_factor)
+        grid = cfg.grid(cam.height, cam.width)
+        bins = _btb(prep.centers, prep.extents, prep.depths, prep.valid,
+                    grid, pair_cap=cfg.pair_cap, s_max=cfg.s_max)
+        emaps = _rast(prep.geom, edit_texture, buffers.texture_hw, bins,
+                      cam, grid)
+        images["edit"] = jnp.clip(
+            outputs["img"] + emaps["texture_rgb"] + (1.0 - alpha1) * bg,
+            0.0, 1.0)
+    else:
+        images["edit"] = outputs["rgb"]
+    return images
+
+
+def _test_color_img(cfg, test_params, buffers, cam, step):
+    """Σ w · test_color with thresholded opacities (the out_img part of the
+    test render)."""
+    from ..ops.binning import build_tile_bins as _btb
+    from ..ops.prepare import prepare_splats as _ps
+    from ..ops.rasterize import rasterize as _rast
+
+    prep = _ps(test_params.means, test_params.log_scales, test_params.quats,
+               test_params.opacity_logits, test_params.features_dc,
+               test_params.features_rest, buffers.mappings, cam,
+               active_sh_degree=0, sh_degree=0, fix_init=cfg.fix_init,
+               extent_sigma=cfg.sigma_factor)
+    # sh_degree=0 prepare makes rgb = sigmoid(features_dc); instead use the
+    # raw test colors
+    prep = prep._replace(geom=prep.geom._replace(rgb=buffers.test_colors))
+    grid = cfg.grid(cam.height, cam.width)
+    bins = _btb(prep.centers, prep.extents, prep.depths, prep.valid, grid,
+                pair_cap=cfg.pair_cap, s_max=cfg.s_max)
+    return _rast(prep.geom, jnp.zeros_like(test_params.texture),
+                 buffers.texture_hw, bins, cam, grid)
 
 
 def composite_gt(image: jax.Array, background: jax.Array) -> jax.Array:
@@ -309,11 +405,12 @@ def loss_fn(cfg: GStexConfig, outputs: dict, gt_rgb: jax.Array, step,
     simloss = 1.0 - ssim_ops.ssim(gt, pred)
     lam_n = schedule_value(cfg.lambda_normal, step)
     lam_r = schedule_value(cfg.lambda_reg, step)
-    # normal loss: mean(α − n·n̂); with use_normal_loss off the estimated
-    # normal IS the rendered normal (gstex.py:1218-1222,1316)
+    # normal loss: mean(α − n·n̂); with use_normal_loss the estimate comes
+    # from the (detached) depth map, else n̂ = n (gstex.py:1218-1222,1316)
+    estimated = outputs.get("estimated_normals", outputs["normal"])
     normal_loss = lam_n * jnp.mean(
         outputs["alpha"]
-        - jnp.sum(outputs["normal"] * outputs["normal"], axis=-1))
+        - jnp.sum(outputs["normal"] * estimated, axis=-1))
     reg_loss = lam_r * jnp.mean(outputs["reg"])
     main = (1.0 - cfg.ssim_lambda) * l1 + cfg.ssim_lambda * simloss
     total = main + normal_loss + reg_loss
