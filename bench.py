@@ -22,6 +22,9 @@ def main():
     from gstex_tpu.data.synthetic import orbit_camera, random_scene
     from gstex_tpu.models import gstex as model
     from gstex_tpu.train import optim, step as train_step
+    from gstex_tpu.utils.tpu import enable_compilation_cache
+
+    enable_compilation_cache()
 
     H = W = 800
     N = 50_000

@@ -32,8 +32,11 @@ def _interp_poses(c2ws, steps):
 
 def main(argv=None):
     p = argparse.ArgumentParser(description=__doc__)
-    p.add_argument("mode", choices=["dataset", "interpolate", "spiral"])
+    p.add_argument("mode", choices=["dataset", "interpolate", "spiral",
+                                    "camera-path"])
     p.add_argument("--load-config", required=True)
+    p.add_argument("--camera-path-filename", default=None,
+                   help="nerfstudio camera_path.json (mode=camera-path)")
     p.add_argument("--output-path", default="renders")
     p.add_argument("--split", default="test")
     p.add_argument("--frames", type=int, default=120)
@@ -55,6 +58,22 @@ def main(argv=None):
 
     if args.mode == "dataset":
         cam_list = cams
+    elif args.mode == "camera-path":
+        # keyframed path JSON from the viewer's render panel
+        # (reference render_panel.py -> scripts/render.py:433 RenderCameraPath)
+        import json as _json
+
+        from ..ops.camera import make_camera
+
+        spec = _json.loads(Path(args.camera_path_filename).read_text())
+        h = int(spec.get("render_height", 1080))
+        w = int(spec.get("render_width", 1920))
+        cam_list = []
+        for kf in spec["camera_path"]:
+            c2w = np.array(kf["camera_to_world"], np.float64).reshape(4, 4)[:3]
+            fov_deg = float(kf.get("fov", spec.get("fov", 50.0)))
+            fy = 0.5 * h / np.tan(0.5 * np.deg2rad(fov_deg))
+            cam_list.append(make_camera(fy, fy, w / 2, h / 2, h, w, c2w))
     else:
         from ..ops.camera import make_camera
 

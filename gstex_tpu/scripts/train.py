@@ -76,6 +76,9 @@ def add_common_args(p):
     p.add_argument("--experiment-name", default=None)
     p.add_argument("--steps-per-save", type=int, default=None)
     p.add_argument("--steps-per-eval-image", type=int, default=None)
+    p.add_argument("--viewer", action="store_true",
+                   help="serve the interactive viewer while training")
+    p.add_argument("--viewer-port", type=int, default=7007)
 
 
 def main(argv=None):
@@ -138,6 +141,8 @@ def main(argv=None):
 
     trainer = Trainer(method.trainer, method.model, method.optim,
                       params, buffers, train_cache, eval_cache)
+    if args.viewer:
+        trainer.attach_viewer(port=args.viewer_port)
     trainer.train()
     if eval_cache is not None:
         results = trainer.eval_all()

@@ -28,6 +28,17 @@ from ..utils.writer import Writer
 from . import optim, step as step_mod
 
 
+class _NullLock:
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *a):
+        return False
+
+
+_NULL_LOCK = _NullLock()
+
+
 @dataclasses.dataclass
 class TrainerConfig:
     """Mirrors the reference ``TrainerConfig`` (``engine/trainer.py:51-85``)."""
@@ -65,16 +76,32 @@ class Trainer:
         self._rechart = step_mod.make_rechart_step(mcfg)
         self._eval = step_mod.make_eval_step(mcfg)
         self._img_cache: dict = {}
+        self.viewer = None
+
+    def attach_viewer(self, port: int = 7007):
+        """Start the interactive web viewer sharing this trainer's state."""
+        from ..viewer.server import Viewer
+
+        self.viewer = Viewer(self.mcfg, lambda: self.state,
+                             trainer=self, port=port).start()
+        print(f"viewer on http://localhost:{port}")
+        return self.viewer
 
     def train(self):
         tcfg, mcfg = self.tcfg, self.mcfg
         start = int(self.state.step)
         t_last = time.time()
         for step in range(start, tcfg.max_num_iterations):
+            if self.viewer is not None:
+                while self.viewer.paused:
+                    time.sleep(0.1)
             cam, img = self.train_cache.next_train()
             with profiler.time_section("train_iteration"):
                 gt = self._device_image(img)
-                self.state, metrics = self._train_step(self.state, cam, gt)
+                lock = (self.viewer.train_lock if self.viewer is not None
+                        else _NULL_LOCK)
+                with lock:
+                    self.state, metrics = self._train_step(self.state, cam, gt)
 
             # AFTER_TRAIN_ITERATION hooks (gstex.py:901-923)
             if (mcfg.build_chart_every > 0 and step > 0

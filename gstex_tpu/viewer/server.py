@@ -1,0 +1,278 @@
+"""Interactive web viewer: live renders, training control, texture painting.
+
+The self-contained replacement for the reference's viser-based viewer stack
+(``nerfstudio/viewer/``, SURVEY.md §2.2): a threaded HTTP server serving an
+embedded single-page UI (orbit controls, output-type selector, dynamic
+resolution, pause/resume training, polyline painting), backed by a
+render-state-machine thread — latest-camera-wins with resolution picked from
+measured throughput (``render_state_machine.py:288-322`` analog), sharing the
+trainer's lock (``trainer.py:112,226`` analog).
+
+No external deps: stdlib http.server + the framework's jitted eval step.
+"""
+
+from __future__ import annotations
+
+import io
+import json
+import threading
+import time
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from ..models import editing, gstex as model
+from ..ops.camera import make_camera
+from .page import PAGE_HTML
+
+RES_LADDER = [96, 192, 384, 768]  # bounded set → bounded jit compiles
+
+
+class RenderStateMachine(threading.Thread):
+    """Latest-camera-wins render thread with adaptive resolution."""
+
+    def __init__(self, viewer):
+        super().__init__(daemon=True)
+        self.viewer = viewer
+        self.wake = threading.Event()
+        self.pending = None          # (camera_dict, output_name)
+        self.result = None           # (jpeg_bytes, meta)
+        self.static_since = 0.0
+        self.last_render_s = {r: 0.05 for r in RES_LADDER}
+        self.target_fps = 12.0
+
+    def submit(self, cam_dict, output_name):
+        self.pending = (cam_dict, output_name)
+        self.static_since = time.time()
+        self.wake.set()
+
+    def pick_res(self, moving: bool) -> int:
+        if not moving:
+            return RES_LADDER[-1]
+        # largest resolution that still hits the target fps
+        best = RES_LADDER[0]
+        for r in RES_LADDER:
+            if self.last_render_s[r] <= 1.0 / self.target_fps:
+                best = r
+        return best
+
+    def run(self):
+        while not self.viewer.closed:
+            self.wake.wait(timeout=0.25)
+            job = self.pending
+            if job is None:
+                continue
+            moving = (time.time() - self.static_since) < 0.35
+            res = self.pick_res(moving)
+            self.pending = None
+            self.wake.clear()
+            try:
+                t0 = time.time()
+                img, meta = self.viewer.render(job[0], job[1], res)
+                self.last_render_s[res] = time.time() - t0
+                self.result = (img, meta)
+            except Exception as e:  # keep the viewer alive
+                self.result = (None, {"error": repr(e)})
+            if moving and self.pending is None:
+                # re-render at high res once the camera settles
+                self.pending = job
+                time.sleep(0.35)
+                self.wake.set()
+
+
+class Viewer:
+    """Owns model state access, the render thread, and the HTTP server."""
+
+    def __init__(self, cfg: model.GStexConfig, get_state, train_lock=None,
+                 port: int = 7007, trainer=None):
+        self.cfg = cfg
+        self.get_state = get_state
+        self.train_lock = train_lock or threading.Lock()
+        self.trainer = trainer
+        self.closed = False
+        self.paused = False
+        self.edit_session = editing.EditSession(cfg)
+        self.edit_texture = None
+        self.current_polyline = []
+        self.draw_camera = None
+        self.line_rgb = (255, 0, 0)
+        self.line_width = 5
+        self._render_fns = {}
+        self.rsm = RenderStateMachine(self)
+        self.port = port
+        self.httpd = None
+
+    # -- rendering -----------------------------------------------------
+    def _cam_from_dict(self, d, res):
+        h, w = int(d["height"]), int(d["width"])
+        scale = res / max(h, w)
+        return make_camera(d["fx"] * scale, d["fy"] * scale,
+                           d["cx"] * scale, d["cy"] * scale,
+                           max(int(round(h * scale)), 8),
+                           max(int(round(w * scale)), 8),
+                           np.array(d["c2w"], np.float32))
+
+    def render(self, cam_dict, output_name, res):
+        state = self.get_state()
+        cam = self._cam_from_dict(cam_dict, res)
+        bg = jnp.asarray([0.1490, 0.1647, 0.2157])
+        with self.train_lock:
+            if output_name in ("rgb", "depth", "accumulation") \
+                    and self.edit_texture is None:
+                out = model.render(self.cfg, state.params, state.buffers, cam,
+                                   state.step, bg)
+                imgs = {
+                    "rgb": out["rgb"],
+                    "depth": _colormap(out["depth"]),
+                    "accumulation": out["alpha"][..., None].repeat(3, -1),
+                }
+            else:
+                imgs = model.render_eval_images(
+                    self.cfg, state.params, state.buffers, cam, state.step,
+                    bg, edit_texture=self.edit_texture)
+                imgs["depth"] = _colormap(imgs["depth"][..., 0])
+                imgs["accumulation"] = imgs["accumulation"].repeat(3, -1)
+            img = np.asarray(imgs.get(output_name, imgs["rgb"]))
+        jpeg = _to_jpeg(img)
+        return jpeg, {"res": res, "step": int(state.step)}
+
+    # -- painting ------------------------------------------------------
+    def start_polyline(self, cam_dict):
+        self.draw_camera = dict(cam_dict)
+        self.current_polyline = []
+
+    def add_click(self, x_frac, y_frac):
+        if self.draw_camera is None:
+            return
+        h = int(self.draw_camera["height"])
+        w = int(self.draw_camera["width"])
+        self.current_polyline.append((int(w * x_frac), int(h * y_frac)))
+
+    def end_polyline(self):
+        if self.draw_camera is None or len(self.current_polyline) < 2:
+            self.current_polyline = []
+            return
+        cam = self._cam_from_dict(self.draw_camera,
+                                  max(int(self.draw_camera["height"]),
+                                      int(self.draw_camera["width"])))
+        self.edit_session.add_polyline(cam, self.current_polyline,
+                                       rgb=self.line_rgb,
+                                       width=self.line_width)
+        self.current_polyline = []
+        self._update_edit_texture()
+
+    def undo_edit(self):
+        self.edit_session.undo()
+        self._update_edit_texture()
+
+    def save_edits(self, out_dir="edits"):
+        return str(self.edit_session.save(out_dir))
+
+    def _update_edit_texture(self):
+        state = self.get_state()
+        with self.train_lock:
+            if self.edit_session.edits:
+                self.edit_texture = self.edit_session.edit_texture(
+                    state.params, state.buffers)
+            else:
+                self.edit_texture = None
+
+    # -- server --------------------------------------------------------
+    def start(self):
+        viewer = self
+
+        class Handler(BaseHTTPRequestHandler):
+            def log_message(self, *a):
+                pass
+
+            def _send(self, code, body, ctype="application/json"):
+                self.send_response(code)
+                self.send_header("Content-Type", ctype)
+                self.send_header("Content-Length", str(len(body)))
+                self.end_headers()
+                self.wfile.write(body)
+
+            def do_GET(self):
+                if self.path == "/" or self.path.startswith("/index"):
+                    self._send(200, PAGE_HTML.encode(), "text/html")
+                elif self.path.startswith("/frame"):
+                    r = viewer.rsm.result
+                    if r is None or r[0] is None:
+                        self._send(204, b"")
+                    else:
+                        self._send(200, r[0], "image/jpeg")
+                elif self.path.startswith("/state"):
+                    st = viewer.get_state()
+                    self._send(200, json.dumps({
+                        "step": int(st.step),
+                        "paused": viewer.paused,
+                        "num_gaussians": int(st.params.means.shape[0]),
+                        "texel_count": int(model.texel_count(st.buffers)),
+                        "edits": len(viewer.edit_session.edits),
+                    }).encode())
+                else:
+                    self._send(404, b"{}")
+
+            def do_POST(self):
+                n = int(self.headers.get("Content-Length", 0))
+                body = json.loads(self.rfile.read(n) or b"{}")
+                if self.path == "/render":
+                    viewer.rsm.submit(body["camera"],
+                                      body.get("output", "rgb"))
+                    self._send(200, b"{}")
+                elif self.path == "/control":
+                    action = body.get("action")
+                    if action == "pause":
+                        viewer.paused = True
+                    elif action == "resume":
+                        viewer.paused = False
+                    elif action == "start_polyline":
+                        viewer.start_polyline(body["camera"])
+                    elif action == "click":
+                        viewer.add_click(body["x"], body["y"])
+                    elif action == "end_polyline":
+                        viewer.end_polyline()
+                    elif action == "undo":
+                        viewer.undo_edit()
+                    elif action == "save":
+                        viewer.save_edits()
+                    elif action == "set_line":
+                        viewer.line_rgb = tuple(body.get("rgb",
+                                                         viewer.line_rgb))
+                        viewer.line_width = int(body.get("width",
+                                                         viewer.line_width))
+                    self._send(200, json.dumps(
+                        {"paused": viewer.paused,
+                         "polyline": len(viewer.current_polyline)}).encode())
+                else:
+                    self._send(404, b"{}")
+
+        self.httpd = ThreadingHTTPServer(("0.0.0.0", self.port), Handler)
+        self.rsm.start()
+        t = threading.Thread(target=self.httpd.serve_forever, daemon=True)
+        t.start()
+        return self
+
+    def close(self):
+        self.closed = True
+        if self.httpd:
+            self.httpd.shutdown()
+
+
+def _colormap(depth):
+    d = np.asarray(depth)
+    lo, hi = d.min(), d.max()
+    norm = (d - lo) / (hi - lo + 1e-6)
+    return jnp.asarray(np.stack([norm, norm, 1.0 - norm], -1))
+
+
+def _to_jpeg(img: np.ndarray) -> bytes:
+    from PIL import Image
+
+    arr = (np.clip(img, 0, 1) * 255).astype(np.uint8)
+    buf = io.BytesIO()
+    Image.fromarray(arr).save(buf, format="JPEG", quality=88)
+    return buf.getvalue()
