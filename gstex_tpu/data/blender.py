@@ -28,6 +28,7 @@ class ParsedDataset:
     widths: np.ndarray
     points_xyz: np.ndarray | None = None   # (P,3) seed points
     points_rgb: np.ndarray | None = None   # (P,3) 0-255
+    mask_filenames: list | None = None     # per-frame binary masks
 
 
 def _image_size(path: Path) -> tuple[int, int]:

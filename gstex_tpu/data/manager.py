@@ -29,6 +29,7 @@ def _load_image(path) -> np.ndarray:
 class FullImageCache:
     cameras: list
     images: list  # uint8 (H,W,3|4)
+    masks: list | None = None  # optional uint8 (H,W) binary masks
     rng: np.random.Generator = field(
         default_factory=lambda: np.random.default_rng(0))
     _unseen: list = field(default_factory=list)
@@ -37,6 +38,7 @@ class FullImageCache:
     def build(cls, parsed: ParsedDataset, seed: int = 0,
               max_workers: int = 8) -> "FullImageCache":
         dist = getattr(parsed, "distortion", None)
+        mask_files = getattr(parsed, "mask_filenames", None)
 
         def load(i):
             img = _load_image(parsed.image_filenames[i])
@@ -62,22 +64,38 @@ class FullImageCache:
             results = list(ex.map(load, range(n)))
         cams = [r[0] for r in results]
         imgs = [r[1] for r in results]
-        return cls(cameras=cams, images=imgs,
+        masks = None
+        if mask_files is not None:
+            from PIL import Image
+
+            masks = []
+            for mf in mask_files:
+                if mf is None:
+                    masks.append(None)
+                else:
+                    with Image.open(mf) as im:
+                        masks.append(
+                            (np.asarray(im.convert("L")) > 127)
+                            .astype(np.uint8))
+        return cls(cameras=cams, images=imgs, masks=masks,
                    rng=np.random.default_rng(seed))
 
     def __len__(self):
         return len(self.cameras)
 
-    def next_train(self) -> tuple[Camera, np.ndarray]:
+    def next_train(self):
         """Random without-replacement camera sampling
-        (``full_images_datamanager.py:316-363``)."""
+        (``full_images_datamanager.py:316-363``).
+        Returns (camera, image, mask-or-None)."""
         if not self._unseen:
             self._unseen = list(self.rng.permutation(len(self.cameras)))
         i = int(self._unseen.pop())
-        return self.cameras[i], self.images[i]
+        m = self.masks[i] if self.masks is not None else None
+        return self.cameras[i], self.images[i], m
 
-    def get(self, i: int) -> tuple[Camera, np.ndarray]:
-        return self.cameras[i], self.images[i]
+    def get(self, i: int):
+        m = self.masks[i] if self.masks is not None else None
+        return self.cameras[i], self.images[i], m
 
 
 def image_to_float(img: np.ndarray) -> np.ndarray:

@@ -99,6 +99,11 @@ def parse_nerfstudio(
         widths=(np.array([ww[i] for i in sel], np.int64) * scale).astype(np.int64),
     )
     out.distortion = np.array([dist[i] for i in sel], np.float32)  # type: ignore
+    if any("mask_path" in fr for fr in frames):
+        out.mask_filenames = [
+            (data_dir / frames[i]["mask_path"]) if "mask_path" in frames[i]
+            else None
+            for i in sel]
 
     if load_3d_points:
         pts = rgb = None

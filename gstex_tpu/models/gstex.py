@@ -60,6 +60,8 @@ class GStexConfig:
     lambda_reg: Union[float, Sequence[float]] = 0.0
     use_normal_loss: bool = False
     fix_init: bool = False
+    num_downscales: int = 0        # start at 1/2^d resolution (gstex.py:180)
+    resolution_schedule: int = 250  # double every n steps (gstex.py:176)
     # TPU-specific
     chart_pad: tuple[int, int] = (8, 8)   # dense chart padding (Ch, Cw)
     tile_h: int = 32
@@ -416,6 +418,12 @@ def loss_fn(cfg: GStexConfig, outputs: dict, gt_rgb: jax.Array, step,
     total = main + normal_loss + reg_loss
     return total, {"main_loss": main, "l1": l1, "ssim_loss": simloss,
                    "normal_loss": normal_loss, "reg_loss": reg_loss}
+
+
+def downscale_factor(cfg: GStexConfig, step: int) -> int:
+    """Training-resolution schedule (``_get_downscale_factor``,
+    ``gstex.py:955-962``). Host-side (int step)."""
+    return 2 ** max(cfg.num_downscales - step // cfg.resolution_schedule, 0)
 
 
 def texel_count(buffers: GStexBuffers) -> jax.Array:

@@ -3,17 +3,21 @@
 The performance tier of the renderer stack (DESIGN.md), replacing the CUDA
 ``texture_gaussians`` inner loop (SURVEY.md §2.1 stage 5): one grid cell per
 32×32-pixel tile (mapped to the native (8,128) VPU shape), a dynamic-bound
-while-loop over the tile's front-to-back splat list with whole-tile early
-exit, and the jagged texel fetch expressed as a separable bilinear-weight
-matmul on the MXU (gather-free).
+while-loop over CHUNK-sized groups of the tile's front-to-back splat list
+with whole-tile early exit. Per chunk, the intersection/falloff math is
+vectorized over (CHUNK, 8, 128); the blend recurrence and the jagged texel
+fetch (separable bilinear weights contracted on the MXU — gather-free)
+unroll over the CHUNK splats. All memory accesses are aligned vector loads:
+Mosaic forbids dynamic scalar indexing on the lane axis, so per-splat fields
+are read as (CHUNK, F) row blocks.
 
 Data flow per frame (all static shapes):
-  XLA: build per-splat records (N,F) → gather into pair order (F,T,S) and
-       transposed charts (T, S·Cw, Ch·3)
+  XLA: build per-splat records (N,F) → gather into pair order (T,S,F) and
+       transposed charts (T, S·Cw', Ch·3)
   Pallas fwd: per-tile blend → packed channel maps + (T_final, n_contrib)
   Pallas bwd (rasterize_pallas_bwd.py): back-to-front walk emitting per-pair
-       record/chart gradients, conflict-free; XLA segment-sums by gaussian id
-       and pulls back through the record builder with jax.vjp.
+       record/chart gradients, conflict-free; the XLA caller turns pair
+       grads into parameter grads through the differentiable record builder.
 
 Record layout (F=32), built by ``build_records``:
   0-2  n          surfel normal
@@ -43,6 +47,7 @@ from .surfel import (AA_SIGMA2, ALPHA_CLAMP, ALPHA_CUTOFF, EXTENT_SIGMA,
                      REG_FAR, REG_NEAR, T_EPS, SplatGeom)
 
 F_REC = 32
+CHUNK = 8  # splats processed per loop iteration (aligned row blocks)
 # packed output channels (each occupying 8 sublanes of the (1, NCH*8, 128)
 # output block): img(3) tex(3) depth alpha normal(3) reg | T_final m1
 CH_NAMES = ["img0", "img1", "img2", "tex0", "tex1", "tex2", "depth", "alpha",
@@ -50,8 +55,8 @@ CH_NAMES = ["img0", "img1", "img2", "tex0", "tex1", "tex2", "depth", "alpha",
 NCH = len(CH_NAMES)
 
 
-def build_records(geom: SplatGeom, origin: jax.Array) -> jax.Array:
-    """Per-splat precomputed intersection coefficients (N, F_REC)."""
+def build_records(geom: SplatGeom, origin: jax.Array):
+    """Per-splat precomputed intersection coefficients (N, F_REC-2)."""
     om = origin - geom.mean                       # (N,3)
     sg = jax.lax.stop_gradient
     b1 = geom.ax1 / geom.l0[:, None]
@@ -73,21 +78,25 @@ def build_records(geom: SplatGeom, origin: jax.Array) -> jax.Array:
         geom.rgb,                                           # 21-23
         geom.xy,                                            # 24-25
     ]
-    rec = jnp.concatenate(cols, axis=-1)
-    pad = jnp.zeros((rec.shape[0], F_REC - rec.shape[-1] - 2), rec.dtype)
-    return rec, pad  # h/w appended by caller (ints kept separate for grads)
+    return jnp.concatenate(cols, axis=-1)
 
 
 def assemble_records(geom: SplatGeom, origin, texture_hw) -> jax.Array:
-    rec, pad = build_records(geom, origin)
+    rec = build_records(geom, origin)
     hw = texture_hw.astype(jnp.float32)
+    pad = jnp.zeros((rec.shape[0], F_REC - rec.shape[-1] - 2), rec.dtype)
     return jnp.concatenate([rec, hw, pad], axis=-1)
 
 
 def pack_charts(texture: jax.Array) -> jax.Array:
-    """(N, Ch, Cw, 3) -> (N, Cw, Ch*3) transposed charts (matmul RHS)."""
+    """(N, Ch, Cw, 3) -> (N, Cw', Ch*3) transposed charts (matmul RHS),
+    Cw' padded up to a multiple of 8 for aligned per-splat row blocks."""
     n, ch, cw, c = texture.shape
-    return texture.transpose(0, 2, 1, 3).reshape(n, cw, ch * c)
+    t = texture.transpose(0, 2, 1, 3).reshape(n, cw, ch * c)
+    cw_pad = -(-cw // 8) * 8
+    if cw_pad != cw:
+        t = jnp.pad(t, ((0, 0), (0, cw_pad - cw), (0, 0)))
+    return t
 
 
 def _cam_info(cam: Camera, px_offset) -> jax.Array:
@@ -124,39 +133,46 @@ def _pixel_grids(grid: TileGrid, t, cam_ref):
     return gx, gy, (d0, d1, d2)
 
 
-def _splat_response(rec, s, dirs, gx, gy):
-    """Shared per-splat forward math on (8,128) pixel arrays.
+def _chunk_response(chunk, valid, dirs, gx, gy):
+    """Vectorized per-splat forward math for a (CHUNK, F) record block.
 
-    rec: callable f -> scalar record field. Returns dict of (8,128) arrays.
+    Returns a dict of (CHUNK, 8, 128) arrays. ``valid`` is a (CHUNK,1,1)
+    0/1 mask for tail splats beyond the tile's count.
     """
-    d0, d1, d2 = dirs
-    nd = rec(0) * d0 + rec(1) * d1 + rec(2) * d2
+    def col(f):
+        return chunk[:, f][:, None, None]            # (K,1,1)
+
+    d0, d1, d2 = (d[None] for d in dirs)             # (1,8,128)
+    gxb, gyb = gx[None], gy[None]
+
+    nd = col(0) * d0 + col(1) * d1 + col(2) * d2
     abs_nd = jnp.abs(nd)
     safe_nd = jnp.where(abs_nd < 1e-9, jnp.where(nd < 0, -1e-9, 1e-9), nd)
-    t_hit = rec(3) / safe_nd
+    t_hit = col(3) / safe_nd
 
-    b1d = rec(4) * d0 + rec(5) * d1 + rec(6) * d2
-    b2d = rec(8) * d0 + rec(9) * d1 + rec(10) * d2
-    u = rec(7) + t_hit * b1d
-    v = rec(11) + t_hit * b2d
+    b1d = col(4) * d0 + col(5) * d1 + col(6) * d2
+    b2d = col(8) * d0 + col(9) * d1 + col(10) * d2
+    u = col(7) + t_hit * b1d
+    v = col(11) + t_hit * b2d
     r2 = u * u + v * v
     g_surf = jnp.exp(-0.5 * r2)
     g_surf = jnp.where(r2 <= EXTENT_SIGMA * EXTENT_SIGMA, g_surf, 0.0)
 
-    dpx = gx - rec(24)
-    dpy = gy - rec(25)
+    dpx = gxb - col(24)
+    dpy = gyb - col(25)
     r2s = dpx * dpx + dpy * dpy
     g_scr = jnp.exp(-0.5 * r2s / AA_SIGMA2)
 
     g = jnp.maximum(g_surf, g_scr)
-    alpha = jnp.minimum(rec(20) * g, ALPHA_CLAMP)
+    alpha = jnp.minimum(col(20) * g, ALPHA_CLAMP)
     alpha = jnp.where(alpha < ALPHA_CUTOFF, 0.0, alpha)
     alpha = jnp.where(t_hit > 1e-6, alpha, 0.0)
+    alpha = alpha * valid
 
-    b1ud = rec(12) * d0 + rec(13) * d1 + rec(14) * d2
-    b2ud = rec(16) * d0 + rec(17) * d1 + rec(18) * d2
-    uv_u = jnp.clip(0.5 + rec(15) + t_hit * b1ud, 0.0, 1.0)
-    uv_v = jnp.clip(0.5 + rec(19) + t_hit * b2ud, 0.0, 1.0)
+    b1ud = col(12) * d0 + col(13) * d1 + col(14) * d2
+    b2ud = col(16) * d0 + col(17) * d1 + col(18) * d2
+    uv_u = jnp.clip(0.5 + col(15) + t_hit * b1ud, 0.0, 1.0)
+    uv_v = jnp.clip(0.5 + col(19) + t_hit * b2ud, 0.0, 1.0)
 
     tc = jnp.maximum(t_hit, REG_NEAR)
     m = (REG_FAR / (REG_FAR - REG_NEAR)) * (1.0 - REG_NEAR / tc)
@@ -172,43 +188,47 @@ def _splat_response(rec, s, dirs, gx, gy):
 
 
 def _bilinear_weights(coord, size, cap):
-    """Separable bilinear weights (8,128,cap) for clamped coord in [0,size-1].
+    """Separable bilinear weights (8,128,cap) for a (8,128) coord.
 
     Texel a of an h-sized axis sits at x = uv*h; weights are
     max(0, 1-|x-a|) with x clamped into [0, h-1] (surfel.py alignment).
-    """
+    ``size`` is a (1,1) array (broadcasts)."""
     x = jnp.clip(coord, 0.0, size - 1.0)
-    a = jax.lax.broadcasted_iota(jnp.float32, (8, 128, cap), 2)
+    a = jax.lax.broadcasted_iota(jnp.int32, (8, 128, cap), 2).astype(
+        jnp.float32)
     return jnp.maximum(0.0, 1.0 - jnp.abs(x[..., None] - a))
 
 
-def _fetch_texel(charts_ref, s, wy, wx, ch, cw):
-    """Separable bilinear fetch: (wy @ chart_t) then contract over Ch rows.
+def _chart_slice(charts_ref, c, k, cw_blk):
+    """Aligned (Cw', Ch*3) chart rows for splat k of chunk c."""
+    base = pl.multiple_of(c * (CHUNK * cw_blk), 8)
+    return charts_ref[0, pl.ds(base + k * cw_blk, cw_blk), :]
 
-    charts_ref block: (1, S*Cw, Ch*3); rows [s*Cw:(s+1)*Cw] are this splat's
-    transposed chart (Cw, Ch*3). Returns 3 arrays (8,128) and the matmul
-    intermediate (8,128,Ch*3) reused by the backward.
-    """
-    chart_t = charts_ref[0, pl.ds(s * cw, cw), :]          # (Cw, Ch*3)
-    wy_flat = wy.reshape(8 * 128, cw)
+
+def _fetch_texel(chart_t, wy, wx, ch_pad, cw_blk):
+    """Separable bilinear fetch for ONE splat: (wy @ chart_t) then contract
+    over Ch. Returns ([r,g,b] each (8,128), matmul intermediate)."""
+    wy_flat = wy.reshape(8 * 128, cw_blk)
     tmp = jnp.dot(wy_flat, chart_t,
-                  preferred_element_type=jnp.float32)       # (P, Ch*3)
-    tmp = tmp.reshape(8, 128, ch * 3)
+                  preferred_element_type=jnp.float32)       # (P, Ch3)
+    tmp = tmp.reshape(8, 128, ch_pad * 3)
     outs = []
-    for c in range(3):
+    for cc in range(3):
         acc = jnp.zeros((8, 128), jnp.float32)
-        for a in range(ch):
-            acc = acc + wx[..., a] * tmp[..., a * 3 + c]
+        for aa in range(ch_pad):
+            acc = acc + wx[..., aa] * tmp[..., aa * 3 + cc]
         outs.append(acc)
     return outs, tmp
 
 
-def _fwd_kernel(grid: TileGrid, s_max: int, chart_pad, counts_ref, cam_ref,
-                records_ref, charts_ref, out_ref, ncontrib_ref):
-    ch_pad, cw_pad = chart_pad
+def _fwd_kernel(grid: TileGrid, s_max: int, chart_pad, cw_blk, counts_ref,
+                cam_ref, records_ref, charts_ref, out_ref, ncontrib_ref):
+    ch_pad = chart_pad[0]
     t = pl.program_id(0)
     count = counts_ref[t]
+    n_chunks = (count + CHUNK - 1) // CHUNK
     gx, gy, dirs = _pixel_grids(grid, t, cam_ref)
+    k_iota = jax.lax.broadcasted_iota(jnp.int32, (CHUNK, 1, 1), 0)
 
     zeros = jnp.zeros((8, 128), jnp.float32)
     init = {name: zeros for name in CH_NAMES if name != "t_final"}
@@ -216,50 +236,57 @@ def _fwd_kernel(grid: TileGrid, s_max: int, chart_pad, counts_ref, cam_ref,
     carry0 = (jnp.int32(0), jnp.full((8, 128), s_max, jnp.int32), init)
 
     def cond(carry):
-        s, ncon, acc = carry
-        return jnp.logical_and(s < count,
+        c, ncon, acc = carry
+        return jnp.logical_and(c < n_chunks,
                                jnp.max(acc["t_final"]) > T_EPS)
 
     def body(carry):
-        s, ncon, acc = carry
+        c, ncon, acc = carry
+        base = pl.multiple_of(c * CHUNK, CHUNK)
+        chunk = records_ref[0, pl.ds(base, CHUNK), :]        # (K, F)
+        valid = (c * CHUNK + k_iota < count).astype(jnp.float32)
+        r = _chunk_response(chunk, valid, dirs, gx, gy)
 
-        def rec(f):
-            return records_ref[f, 0, s]
-
-        r = _splat_response(rec, s, dirs, gx, gy)
-        a = r["alpha"]
-        T = acc["t_final"]
-
-        considered = jnp.logical_and(a > 0.0, ncon == s_max)
-        next_T = T * (1.0 - a)
-        would_break = jnp.logical_and(considered, next_T <= T_EPS)
-        applied = jnp.logical_and(considered, ~would_break)
-        w = jnp.where(applied, a * T, 0.0)
-
-        h_g, w_g = rec(26), rec(27)
-        wx = _bilinear_weights(r["uv_u"] * h_g, h_g, ch_pad)
-        wy = _bilinear_weights(r["uv_v"] * w_g, w_g, cw_pad)
-        (tex0, tex1, tex2), _ = _fetch_texel(charts_ref, s, wy, wx,
-                                             ch_pad, cw_pad)
-
-        m = r["m"]
         new_acc = dict(acc)
-        new_acc["img0"] = acc["img0"] + w * rec(21)
-        new_acc["img1"] = acc["img1"] + w * rec(22)
-        new_acc["img2"] = acc["img2"] + w * rec(23)
-        new_acc["tex0"] = acc["tex0"] + w * tex0
-        new_acc["tex1"] = acc["tex1"] + w * tex1
-        new_acc["tex2"] = acc["tex2"] + w * tex2
-        new_acc["depth"] = acc["depth"] + w * r["t"]
-        new_acc["n0"] = acc["n0"] + w * r["flip"] * rec(0)
-        new_acc["n1"] = acc["n1"] + w * r["flip"] * rec(1)
-        new_acc["n2"] = acc["n2"] + w * r["flip"] * rec(2)
-        new_acc["reg"] = acc["reg"] + 2.0 * w * (m * acc["alpha"] - acc["m1"])
-        new_acc["alpha"] = acc["alpha"] + w
-        new_acc["m1"] = acc["m1"] + w * m
-        new_acc["t_final"] = jnp.where(applied, next_T, T)
-        ncon = jnp.where(would_break, s, ncon)
-        return (s + 1, ncon, new_acc)
+        T = acc["t_final"]
+        ncon_new = ncon
+        for k in range(CHUNK):
+            s = c * CHUNK + k
+            a = r["alpha"][k]
+            considered = jnp.logical_and(a > 0.0, ncon_new == s_max)
+            next_T = T * (1.0 - a)
+            would_break = jnp.logical_and(considered, next_T <= T_EPS)
+            applied = jnp.logical_and(considered, ~would_break)
+            w = jnp.where(applied, a * T, 0.0)
+
+            h_g = chunk[k:k + 1, 26:27]                      # (1,1)
+            w_g = chunk[k:k + 1, 27:28]
+            wx = _bilinear_weights(r["uv_u"][k] * h_g, h_g, ch_pad)
+            wy = _bilinear_weights(r["uv_v"][k] * w_g, w_g, cw_blk)
+            chart_t = _chart_slice(charts_ref, c, k, cw_blk)
+            (tex0, tex1, tex2), _ = _fetch_texel(chart_t, wy, wx, ch_pad,
+                                                 cw_blk)
+
+            m = r["m"][k]
+            new_acc["img0"] = new_acc["img0"] + w * chunk[k:k + 1, 21:22]
+            new_acc["img1"] = new_acc["img1"] + w * chunk[k:k + 1, 22:23]
+            new_acc["img2"] = new_acc["img2"] + w * chunk[k:k + 1, 23:24]
+            new_acc["tex0"] = new_acc["tex0"] + w * tex0
+            new_acc["tex1"] = new_acc["tex1"] + w * tex1
+            new_acc["tex2"] = new_acc["tex2"] + w * tex2
+            new_acc["depth"] = new_acc["depth"] + w * r["t"][k]
+            fl = r["flip"][k]
+            new_acc["n0"] = new_acc["n0"] + w * fl * chunk[k:k + 1, 0:1]
+            new_acc["n1"] = new_acc["n1"] + w * fl * chunk[k:k + 1, 1:2]
+            new_acc["n2"] = new_acc["n2"] + w * fl * chunk[k:k + 1, 2:3]
+            new_acc["reg"] = new_acc["reg"] + 2.0 * w * (
+                m * new_acc["alpha"] - new_acc["m1"])
+            new_acc["alpha"] = new_acc["alpha"] + w
+            new_acc["m1"] = new_acc["m1"] + w * m
+            T = jnp.where(applied, next_T, T)
+            ncon_new = jnp.where(would_break, s, ncon_new)
+        new_acc["t_final"] = T
+        return (c + 1, ncon_new, new_acc)
 
     _, ncontrib, acc = jax.lax.while_loop(cond, body, carry0)
     for i, name in enumerate(CH_NAMES):
@@ -268,8 +295,8 @@ def _fwd_kernel(grid: TileGrid, s_max: int, chart_pad, counts_ref, cam_ref,
 
 
 class PallasInputs(NamedTuple):
-    records_t: jax.Array   # (F, T, S)
-    charts_g: jax.Array    # (T, S*Cw, Ch*3)
+    records_t: jax.Array   # (T, S, F)
+    charts_g: jax.Array    # (T, S*Cw', Ch*3)
     counts: jax.Array      # (T,) int32 (clamped to s_max)
     cam_info: jax.Array    # (18,)
 
@@ -281,27 +308,27 @@ def prepare_pallas_inputs(geom, texture_packed, texture_hw, bins: TileBins,
     origin = cam.c2w[:3, 3]
     records = assemble_records(geom, origin, texture_hw)    # (N, F)
     rec_pairs = records[bins.ids]                           # (T, S, F)
-    records_t = rec_pairs.transpose(2, 0, 1)                # (F, T, S)
-    charts_g = texture_packed[bins.ids]                     # (T, S, Cw, Ch3)
+    charts_g = texture_packed[bins.ids]                     # (T, S, Cw', Ch3)
     tt, ss, cw, ch3 = charts_g.shape
     charts_g = charts_g.reshape(tt, ss * cw, ch3)
     s_max = bins.ids.shape[1]
     counts = jnp.minimum(bins.counts, s_max)
-    return PallasInputs(records_t, charts_g, counts,
+    return PallasInputs(rec_pairs, charts_g, counts,
                         _cam_info(cam, px_offset))
 
 
 def rasterize_pallas_fwd(grid: TileGrid, chart_pad, inputs: PallasInputs,
                          interpret: bool = False):
     """Run the forward kernel. Returns (maps dict of (T,8,128), ncontrib)."""
-    f, num_tiles, s_max = inputs.records_t.shape
-    kernel = functools.partial(_fwd_kernel, grid, s_max, chart_pad)
+    num_tiles, s_max, f = inputs.records_t.shape
+    cw_blk = inputs.charts_g.shape[1] // s_max
+    kernel = functools.partial(_fwd_kernel, grid, s_max, chart_pad, cw_blk)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
         grid=(num_tiles,),
         in_specs=[
-            pl.BlockSpec((F_REC, 1, s_max), lambda t, c, cam: (0, t, 0)),
-            pl.BlockSpec((1, s_max * chart_pad[1], chart_pad[0] * 3),
+            pl.BlockSpec((1, s_max, F_REC), lambda t, c, cam: (t, 0, 0)),
+            pl.BlockSpec((1, s_max * cw_blk, chart_pad[0] * 3),
                          lambda t, c, cam: (t, 0, 0)),
         ],
         out_specs=[

@@ -40,7 +40,8 @@ def init_state(cfg: model.GStexConfig, ocfg: optim.OptimConfig,
 def make_train_step(cfg: model.GStexConfig, tx: optax.GradientTransformation):
     """Returns jitted (state, cam, image) -> (state, metrics)."""
 
-    def step_fn(state: TrainState, cam: Camera, image: jax.Array):
+    def step_fn(state: TrainState, cam: Camera, image: jax.Array,
+                mask: jax.Array | None = None):
         key, bg_key = jax.random.split(state.key)
         background = model.sample_background(cfg, bg_key)
         gt = model.composite_gt(image, background)
@@ -48,7 +49,8 @@ def make_train_step(cfg: model.GStexConfig, tx: optax.GradientTransformation):
         def loss_of(params):
             outputs = model.render(cfg, params, state.buffers, cam,
                                    state.step, background)
-            total, parts = model.loss_fn(cfg, outputs, gt, state.step)
+            total, parts = model.loss_fn(cfg, outputs, gt, state.step,
+                                         mask=mask)
             return total, (parts, outputs)
 
         (loss, (parts, outputs)), grads = jax.value_and_grad(
@@ -65,7 +67,7 @@ def make_train_step(cfg: model.GStexConfig, tx: optax.GradientTransformation):
                                state.step + 1, key)
         return new_state, metrics
 
-    return jax.jit(step_fn, donate_argnums=(0,))
+    return jax.jit(step_fn, donate_argnums=(0,), static_argnames=())
 
 
 def make_rechart_step(cfg: model.GStexConfig):

@@ -28,6 +28,21 @@ from ..utils.writer import Writer
 from . import optim, step as step_mod
 
 
+def _downscale(cam, img: np.ndarray, d: int):
+    """Progressive-resolution schedule: resize image + rescale camera
+    (``_downscale_if_required`` + ``rescale_output_resolution``,
+    ``gstex.py:964-973``)."""
+    import cv2
+
+    from ..ops.camera import make_camera
+
+    h, w = img.shape[0] // d, img.shape[1] // d
+    small = cv2.resize(np.asarray(img), (w, h), interpolation=cv2.INTER_AREA)
+    cam2 = make_camera(cam.fx / d, cam.fy / d, cam.cx / d, cam.cy / d,
+                       h, w, cam.c2w)
+    return cam2, small
+
+
 class _NullLock:
     def __enter__(self):
         return self
@@ -95,13 +110,23 @@ class Trainer:
             if self.viewer is not None:
                 while self.viewer.paused:
                     time.sleep(0.1)
-            cam, img = self.train_cache.next_train()
+            cam, img, mask = self.train_cache.next_train()
+            d = model.downscale_factor(mcfg, step)
+            if d > 1:
+                cam, img = _downscale(cam, img, d)
+                if mask is not None:
+                    mask = mask[::d, ::d]
             with profiler.time_section("train_iteration"):
-                gt = self._device_image(img)
+                # downscaled arrays are transient — don't cache them
+                gt = (self._device_image(img) if d == 1
+                      else jnp.asarray(image_to_float(img)))
+                m = (None if mask is None
+                     else jnp.asarray(mask, jnp.float32)[..., None])
                 lock = (self.viewer.train_lock if self.viewer is not None
                         else _NULL_LOCK)
                 with lock:
-                    self.state, metrics = self._train_step(self.state, cam, gt)
+                    self.state, metrics = self._train_step(self.state, cam,
+                                                           gt, m)
 
             # AFTER_TRAIN_ITERATION hooks (gstex.py:901-923)
             if (mcfg.build_chart_every > 0 and step > 0
@@ -144,7 +169,7 @@ class Trainer:
     def eval_one(self, step: int, idx: int = 0):
         if self.eval_cache is None:
             return {}
-        cam, img = self.eval_cache.get(idx % len(self.eval_cache))
+        cam, img, _ = self.eval_cache.get(idx % len(self.eval_cache))
         bg = self._eval_background()
         out = self._eval(self.state, cam, bg)
         gt = model.composite_gt(self._device_image(img), bg)
@@ -161,7 +186,7 @@ class Trainer:
         rows = []
         t_render = 0.0
         for i in range(len(self.eval_cache)):
-            cam, img = self.eval_cache.get(i)
+            cam, img, _ = self.eval_cache.get(i)
             t0 = time.perf_counter()
             out = self._eval(self.state, cam, bg)
             jax.block_until_ready(out["rgb"])
