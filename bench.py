@@ -28,38 +28,61 @@ def main():
 
     H = W = 800
     N = 50_000
-    cfg = model.GStexConfig(chart_pad=(8, 8), tile_h=32, tile_w=32,
-                            pair_cap=1 << 20, s_max=512, pixel_num=1e6,
-                            background_color="black")
-    scene = random_scene(jax.random.key(0), N, chart_pad=cfg.chart_pad,
-                         spread=1.2, scale_lo=-4.5, scale_hi=-2.5)
-    params, buffers = model.init_params(
-        cfg, scene["means"], scene["log_scales"], scene["quats"],
-        scene["opacity_logits"], scene["features_dc"], scene["features_rest"])
-    ocfg = optim.OptimConfig()
-    state, tx = train_step.init_state(cfg, ocfg, params, buffers,
-                                      jax.random.key(1))
+
+    def build(renderer):
+        cfg = model.GStexConfig(chart_pad=(8, 8), tile_h=32, tile_w=32,
+                                pair_cap=1 << 20, s_max=512, pixel_num=1e6,
+                                background_color="black", renderer=renderer)
+
+        @jax.jit
+        def init():
+            scene = random_scene(jax.random.key(0), N,
+                                 chart_pad=cfg.chart_pad, spread=1.2,
+                                 scale_lo=-4.5, scale_hi=-2.5)
+            return model.init_params(
+                cfg, scene["means"], scene["log_scales"], scene["quats"],
+                scene["opacity_logits"], scene["features_dc"],
+                scene["features_rest"])
+
+        params, buffers = init()
+        ocfg = optim.OptimConfig()
+        state, tx = train_step.init_state(cfg, ocfg, params, buffers,
+                                          jax.random.key(1))
+        return cfg, state, train_step.make_train_step(cfg, tx)
+
     cam = orbit_camera(H, W, dist=4.0)
     gt = jnp.zeros((H, W, 3), jnp.float32)
-    step_fn = train_step.make_train_step(cfg, tx)
 
-    # warmup / compile
-    state, metrics = step_fn(state, cam, gt)
-    jax.block_until_ready(metrics)
+    def measure(renderer):
+        cfg, state, step_fn = build(renderer)
+        state, metrics = step_fn(state, cam, gt)   # warmup / compile
+        jax.block_until_ready(metrics)
+        iters = 10
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            state, metrics = step_fn(state, cam, gt)
+        jax.block_until_ready(metrics)
+        dt = (time.perf_counter() - t0) / iters
+        assert float(metrics["loss"]) > 0 and float(metrics["psnr"]) < 99, \
+            "degenerate bench step"
+        return (H * W / 1e6) / dt
 
-    iters = 10
-    t0 = time.perf_counter()
-    for _ in range(iters):
-        state, metrics = step_fn(state, cam, gt)
-    jax.block_until_ready(metrics)
-    dt = (time.perf_counter() - t0) / iters
-
-    mpix_s = (H * W / 1e6) / dt
+    results = {}
+    for renderer in ("pallas", "xla"):
+        try:
+            results[renderer] = measure(renderer)
+        except Exception as e:
+            print(f"# {renderer} failed: {type(e).__name__}",
+                  flush=True)
+    best = max(results, key=results.get)
+    mpix_s = results[best]
     print(json.dumps({
         "metric": "fwd_bwd_mpix_per_s_chip",
         "value": round(mpix_s, 3),
         "unit": "Mpix/s",
         "vs_baseline": round(mpix_s / CUDA_NOMINAL_MPIX_S, 3),
+        "renderer": best,
+        "all": {k: round(v, 3) for k, v in results.items()},
     }))
 
 

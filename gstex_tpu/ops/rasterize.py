@@ -71,6 +71,27 @@ def _expand_geom(g: SplatGeom) -> SplatGeom:
     return jax.tree.map(lambda a: a[:, None] if a.ndim == 1 else a[:, None, :], g)
 
 
+def _separable_texel(chart, hw, uv):
+    """Bilinear chart sample as a separable-weight contraction (gather-free).
+
+    Mathematically identical to ``surfel.chart_sample_bilinear`` (the oracle
+    keeps the gather form as an independent implementation); per-pixel
+    dynamic-index gathers lower catastrophically on TPU, einsums don't.
+    chart: (T, Ch, Cw, C); hw: (T, 2); uv: (T, P, 2) -> (T, P, C).
+    """
+    ch, cw = chart.shape[1], chart.shape[2]
+    hf = hw[:, 0:1].astype(chart.dtype)
+    wf = hw[:, 1:2].astype(chart.dtype)
+    x = jnp.clip(uv[..., 0] * hf, 0.0, hf - 1.0)
+    y = jnp.clip(uv[..., 1] * wf, 0.0, wf - 1.0)
+    a = jnp.arange(ch, dtype=chart.dtype)
+    b = jnp.arange(cw, dtype=chart.dtype)
+    wx = jnp.maximum(0.0, 1.0 - jnp.abs(x[..., None] - a))   # (T,P,Ch)
+    wy = jnp.maximum(0.0, 1.0 - jnp.abs(y[..., None] - b))   # (T,P,Cw)
+    return jnp.einsum("tpa,tpb,tabc->tpc", wx, wy, chart,
+                      precision=jax.lax.Precision.HIGHEST)
+
+
 def _splat_local(g: SplatGeom, chart, hw, origin, dirs, px):
     """Per-splat, per-pixel local quantities. All leading dims (T, P).
 
@@ -78,9 +99,7 @@ def _splat_local(g: SplatGeom, chart, hw, origin, dirs, px):
     consumes from one splat. Pulled back with jax.vjp in the backward pass.
     """
     hit = surfel.intersect(_expand_geom(g), origin, dirs, px)
-    texel = jax.vmap(
-        lambda c, h, w, uv: surfel.chart_sample_bilinear(c, h, w, uv)
-    )(chart, hw[:, 0], hw[:, 1], hit["uv"])
+    texel = _separable_texel(chart, hw, hit["uv"])
     m = surfel.reg_depth_map(hit["t"])
     return {
         "alpha": hit["alpha"],

@@ -111,6 +111,14 @@ def _cam_info(cam: Camera, px_offset) -> jax.Array:
     ]).astype(jnp.float32)
 
 
+def _lane_bc(v):
+    """(A, 1) -> (A, 128): Mosaic supports single-dim broadcasts only, and
+    XLA folds jnp.broadcast_to chains back into one both-dims broadcast, so
+    the lane widening uses the TPU-native repeat primitive (opaque to the
+    XLA simplifier); later elementwise ops broadcast the sublane dim."""
+    return pltpu.repeat(v, 128, axis=1)
+
+
 def _pixel_grids(grid: TileGrid, t, cam_ref):
     """Global pixel coords + world ray dirs for tile t, shaped (8, 128)."""
     th, tw = grid.tile_h, grid.tile_w
@@ -140,7 +148,7 @@ def _chunk_response(chunk, valid, dirs, gx, gy):
     0/1 mask for tail splats beyond the tile's count.
     """
     def col(f):
-        return chunk[:, f][:, None, None]            # (K,1,1)
+        return _lane_bc(chunk[:, f:f + 1])[:, None, :]   # (K,1,128)
 
     d0, d1, d2 = (d[None] for d in dirs)             # (1,8,128)
     gxb, gyb = gx[None], gy[None]
@@ -200,9 +208,10 @@ def _bilinear_weights(coord, size, cap):
 
 
 def _chart_slice(charts_ref, c, k, cw_blk):
-    """Aligned (Cw', Ch*3) chart rows for splat k of chunk c."""
-    base = pl.multiple_of(c * (CHUNK * cw_blk), 8)
-    return charts_ref[0, pl.ds(base + k * cw_blk, cw_blk), :]
+    """Aligned (Cw', Ch*3) chart rows for splat k of chunk c (k may be
+    traced; cw_blk is a multiple of 8 so the offset is provably aligned)."""
+    base = pl.multiple_of(c * (CHUNK * cw_blk) + k * cw_blk, 8)
+    return charts_ref[0, pl.ds(base, cw_blk), :]
 
 
 def _fetch_texel(chart_t, wy, wx, ch_pad, cw_blk):
@@ -228,7 +237,7 @@ def _fwd_kernel(grid: TileGrid, s_max: int, chart_pad, cw_blk, counts_ref,
     count = counts_ref[t]
     n_chunks = (count + CHUNK - 1) // CHUNK
     gx, gy, dirs = _pixel_grids(grid, t, cam_ref)
-    k_iota = jax.lax.broadcasted_iota(jnp.int32, (CHUNK, 1, 1), 0)
+    k_iota = jax.lax.broadcasted_iota(jnp.int32, (CHUNK, 1, 128), 0)
 
     zeros = jnp.zeros((8, 128), jnp.float32)
     init = {name: zeros for name in CH_NAMES if name != "t_final"}
@@ -247,44 +256,64 @@ def _fwd_kernel(grid: TileGrid, s_max: int, chart_pad, cw_blk, counts_ref,
         valid = (c * CHUNK + k_iota < count).astype(jnp.float32)
         r = _chunk_response(chunk, valid, dirs, gx, gy)
 
-        new_acc = dict(acc)
-        T = acc["t_final"]
-        ncon_new = ncon
-        for k in range(CHUNK):
+        def col(f):
+            return _lane_bc(chunk[:, f:f + 1])[:, None, :]   # (K,1,128)
+
+        # per-splat selection: Mosaic has no dynamic_slice on values, so ONE
+        # lax.switch per iteration returns every needed slice via static
+        # indexing (8 branches)
+        sel_arrays = [r["alpha"], r["t"], r["uv_u"], r["uv_v"], r["m"],
+                      r["flip"],
+                      col(26), col(27), col(21), col(22), col(23),
+                      col(0), col(1), col(2)]
+
+        def pick(k):
+            def make(i):
+                return lambda: tuple(a[i] for a in sel_arrays)
+            return jax.lax.switch(k, [make(i) for i in range(CHUNK)])
+
+        # inner fori so per-splat temporaries (the lane-padded (8,128,cap)
+        # weight arrays) are reused, not live simultaneously — the unrolled
+        # form blows the 16M VMEM budget
+        def splat_body(k, inner):
+            T, ncon_i, acc_i = inner
             s = c * CHUNK + k
-            a = r["alpha"][k]
-            considered = jnp.logical_and(a > 0.0, ncon_new == s_max)
+            (a, t_k, uvu_k, uvv_k, m, fl, h_g, w_g, rgb0, rgb1, rgb2,
+             n0c, n1c, n2c) = pick(k)
+            considered = jnp.logical_and(a > 0.0, ncon_i == s_max)
             next_T = T * (1.0 - a)
             would_break = jnp.logical_and(considered, next_T <= T_EPS)
             applied = jnp.logical_and(considered, ~would_break)
             w = jnp.where(applied, a * T, 0.0)
 
-            h_g = chunk[k:k + 1, 26:27]                      # (1,1)
-            w_g = chunk[k:k + 1, 27:28]
-            wx = _bilinear_weights(r["uv_u"][k] * h_g, h_g, ch_pad)
-            wy = _bilinear_weights(r["uv_v"][k] * w_g, w_g, cw_blk)
+            wx = _bilinear_weights(uvu_k * h_g, h_g, ch_pad)
+            wy = _bilinear_weights(uvv_k * w_g, w_g, cw_blk)
             chart_t = _chart_slice(charts_ref, c, k, cw_blk)
             (tex0, tex1, tex2), _ = _fetch_texel(chart_t, wy, wx, ch_pad,
                                                  cw_blk)
 
-            m = r["m"][k]
-            new_acc["img0"] = new_acc["img0"] + w * chunk[k:k + 1, 21:22]
-            new_acc["img1"] = new_acc["img1"] + w * chunk[k:k + 1, 22:23]
-            new_acc["img2"] = new_acc["img2"] + w * chunk[k:k + 1, 23:24]
-            new_acc["tex0"] = new_acc["tex0"] + w * tex0
-            new_acc["tex1"] = new_acc["tex1"] + w * tex1
-            new_acc["tex2"] = new_acc["tex2"] + w * tex2
-            new_acc["depth"] = new_acc["depth"] + w * r["t"][k]
-            fl = r["flip"][k]
-            new_acc["n0"] = new_acc["n0"] + w * fl * chunk[k:k + 1, 0:1]
-            new_acc["n1"] = new_acc["n1"] + w * fl * chunk[k:k + 1, 1:2]
-            new_acc["n2"] = new_acc["n2"] + w * fl * chunk[k:k + 1, 2:3]
-            new_acc["reg"] = new_acc["reg"] + 2.0 * w * (
-                m * new_acc["alpha"] - new_acc["m1"])
-            new_acc["alpha"] = new_acc["alpha"] + w
-            new_acc["m1"] = new_acc["m1"] + w * m
+            na = dict(acc_i)
+            na["img0"] = acc_i["img0"] + w * rgb0
+            na["img1"] = acc_i["img1"] + w * rgb1
+            na["img2"] = acc_i["img2"] + w * rgb2
+            na["tex0"] = acc_i["tex0"] + w * tex0
+            na["tex1"] = acc_i["tex1"] + w * tex1
+            na["tex2"] = acc_i["tex2"] + w * tex2
+            na["depth"] = acc_i["depth"] + w * t_k
+            na["n0"] = acc_i["n0"] + w * fl * n0c
+            na["n1"] = acc_i["n1"] + w * fl * n1c
+            na["n2"] = acc_i["n2"] + w * fl * n2c
+            na["reg"] = acc_i["reg"] + 2.0 * w * (
+                m * acc_i["alpha"] - acc_i["m1"])
+            na["alpha"] = acc_i["alpha"] + w
+            na["m1"] = acc_i["m1"] + w * m
             T = jnp.where(applied, next_T, T)
-            ncon_new = jnp.where(would_break, s, ncon_new)
+            ncon_i = jnp.where(would_break, s, ncon_i)
+            return (T, ncon_i, na)
+
+        T, ncon_new, new_acc = jax.lax.fori_loop(
+            0, CHUNK, splat_body, (acc["t_final"], ncon, acc))
+        new_acc = dict(new_acc)
         new_acc["t_final"] = T
         return (c + 1, ncon_new, new_acc)
 

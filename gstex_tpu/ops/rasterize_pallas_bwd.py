@@ -31,7 +31,8 @@ from .surfel import (AA_SIGMA2, ALPHA_CLAMP, ALPHA_CUTOFF, EXTENT_SIGMA,
                      REG_FAR, REG_NEAR)
 from .rasterize_pallas import (CH_NAMES, CHUNK, F_REC, NCH,
                                _bilinear_weights, _chart_slice,
-                               _chunk_response, _fetch_texel, _pixel_grids)
+                               _chunk_response, _fetch_texel, _lane_bc,
+                               _pixel_grids)
 
 # cotangent channel order in the packed gmaps input (12 channels × 8 sublanes)
 G_NAMES = ["img0", "img1", "img2", "tex0", "tex1", "tex2", "depth", "alpha",
@@ -75,13 +76,17 @@ def _bwd_kernel(grid: TileGrid, s_max: int, chart_pad, cw_blk, counts_ref,
     # skip whole chunks past every pixel's break point
     start = jnp.minimum(count, jnp.max(ncon) + 1)
     n_chunks = (start + CHUNK - 1) // CHUNK
-    k_iota = jax.lax.broadcasted_iota(jnp.int32, (CHUNK, 1, 1), 0)
+    k_iota = jax.lax.broadcasted_iota(jnp.int32, (CHUNK, 1, 128), 0)
 
     zeros = jnp.zeros((8, 128), jnp.float32)
     carry0 = (n_chunks - 1, t_final, zeros, zeros, zeros)
 
     def cond(carry):
         return carry[0] >= 0
+
+    f_onehots = [
+        jnp.zeros((F_REC,), jnp.float32).at[f].set(1.0) for f in range(26)]
+    kf_iota = jax.lax.broadcasted_iota(jnp.int32, (CHUNK, F_REC), 0)
 
     def body(carry):
         c, T_next, Bs, E, D = carry
@@ -91,45 +96,56 @@ def _bwd_kernel(grid: TileGrid, s_max: int, chart_pad, cw_blk, counts_ref,
         r = _chunk_response(chunk, valid, dirs, gx, gy)
 
         def col(f):
-            return chunk[:, f][:, None, None]
+            return _lane_bc(chunk[:, f:f + 1])[:, None, :]   # (K,1,128)
 
-        h_col = col(26)
-        w_col = col(27)
+        # ONE lax.switch per iteration returns every needed per-splat slice
+        # via static indexing (Mosaic has no dynamic_slice on values)
+        sel_arrays = [
+            r["alpha"], r["m"], r["uv_u"], r["uv_v"], r["t"], r["flip"],
+            r["g"], r["g_surf"], r["g_scr"], r["r2"], r["u"], r["v"],
+            r["b1d"], r["b2d"], r["b1ud"], r["b2ud"], r["nd"], r["safe_nd"],
+            r["dpx"], r["dpy"],
+            col(26), col(27), col(20), col(15), col(19),
+            col(21), col(22), col(23), col(0), col(1), col(2),
+        ]
 
-        # ---- reverse sequential recurrence over the chunk ----
-        T = T_next
-        per_k = [None] * CHUNK
-        for k in reversed(range(CHUNK)):
-            a = r["alpha"][k]
+        def pick(k):
+            def make(i):
+                return lambda: tuple(a[i] for a in sel_arrays)
+            return jax.lax.switch(k, [make(i) for i in range(CHUNK)])
+
+        # reverse inner fori: per-splat temporaries are reused (VMEM budget);
+        # iterate kk = 0..CHUNK-1 mapping to k = CHUNK-1-kk
+        def splat_body(kk, inner):
+            T, Bs, E, D, grad_chunk = inner
+            k = CHUNK - 1 - kk
+            (a, m, uvu_k, uvv_k, t_k, fl, g_k, gs_k, gc_k, r2_k, u_k, v_k,
+             b1d_k, b2d_k, b1ud_k, b2ud_k, nd_k, snd_k, dpx_k, dpy_k,
+             h_g, w_g, op_k, a1u_k, a2u_k, rgb0, rgb1, rgb2,
+             n0c, n1c, n2c) = pick(k)
             applied = jnp.logical_and(a > 0.0, c * CHUNK + k < ncon)
             one_minus = 1.0 - a
             T_k = jnp.where(applied, T / one_minus, T)
             w = jnp.where(applied, a * T_k, 0.0)
-            m = r["m"][k]
             A = m0_tot - w - E
             C = m1_tot - w * m - D
 
-            h_g = chunk[k:k + 1, 26:27]
-            w_g = chunk[k:k + 1, 27:28]
-            wx = _bilinear_weights(r["uv_u"][k] * h_g, h_g, ch_pad)
-            wy = _bilinear_weights(r["uv_v"][k] * w_g, w_g, cw_blk)
+            wx = _bilinear_weights(uvu_k * h_g, h_g, ch_pad)
+            wy = _bilinear_weights(uvv_k * w_g, w_g, cw_blk)
             chart_t = _chart_slice(charts_ref, c, k, cw_blk)
             (tex0, tex1, tex2), tmp = _fetch_texel(chart_t, wy, wx, ch_pad,
                                                    cw_blk)
 
-            s_direct = (chunk[k:k + 1, 21:22] * g_img[0]
-                        + chunk[k:k + 1, 22:23] * g_img[1]
-                        + chunk[k:k + 1, 23:24] * g_img[2]
+            s_direct = (rgb0 * g_img[0] + rgb1 * g_img[1] + rgb2 * g_img[2]
                         + tex0 * g_tex[0] + tex1 * g_tex[1] + tex2 * g_tex[2]
-                        + r["t"][k] * g_depth + g_alpha
-                        + r["flip"][k] * (chunk[k:k + 1, 0:1] * g_norm[0]
-                                          + chunk[k:k + 1, 1:2] * g_norm[1]
-                                          + chunk[k:k + 1, 2:3] * g_norm[2]))
+                        + t_k * g_depth + g_alpha
+                        + fl * (n0c * g_norm[0] + n1c * g_norm[1]
+                                + n2c * g_norm[2]))
             s_k = s_direct + 2.0 * g_reg * ((m * A - C) + (D - m * E))
             d_alpha = jnp.where(applied, T_k * s_k - Bs / one_minus, 0.0)
             d_m = 2.0 * g_reg * w * (A - E)
 
-            # texel fetch backward for this splat
+            # texel fetch backward
             wcot = [w * g_tex[cc] for cc in range(3)]
             wy_flat = wy.reshape(8 * 128, cw_blk)
             M = jnp.concatenate(
@@ -139,12 +155,11 @@ def _bwd_kernel(grid: TileGrid, s_max: int, chart_pad, cw_blk, counts_ref,
             d_chart = jax.lax.dot_general(
                 wy_flat, M_flat, (((0,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32)           # (Cw', Ch3)
-            cbase = pl.multiple_of(c * (CHUNK * cw_blk), 8)
-            dchart_ref[0, pl.ds(cbase + k * cw_blk, cw_blk), :] = d_chart
+            cbase = pl.multiple_of(c * (CHUNK * cw_blk) + k * cw_blk, 8)
+            dchart_ref[0, pl.ds(cbase, cw_blk), :] = d_chart
 
-            # d wrt the bilinear sample coords
-            x_raw = r["uv_u"][k] * h_g
-            y_raw = r["uv_v"][k] * w_g
+            x_raw = uvu_k * h_g
+            y_raw = uvv_k * w_g
             xg = jnp.clip(x_raw, 0.0, h_g - 1.0)
             yg = jnp.clip(y_raw, 0.0, w_g - 1.0)
             a_io = jax.lax.broadcasted_iota(
@@ -167,100 +182,90 @@ def _bwd_kernel(grid: TileGrid, s_max: int, chart_pad, cw_blk, counts_ref,
             d_y = jnp.sum(d_wy * dwy_dy, axis=-1)
             x_pass = jnp.logical_and(x_raw >= 0.0, x_raw <= h_g - 1.0)
             y_pass = jnp.logical_and(y_raw >= 0.0, y_raw <= w_g - 1.0)
+            d_x = jnp.where(x_pass, d_x, 0.0)
+            d_y = jnp.where(y_pass, d_y, 0.0)
 
-            per_k[k] = {"w": w, "d_alpha": d_alpha, "d_m": d_m,
-                        "d_x": jnp.where(x_pass, d_x, 0.0),
-                        "d_y": jnp.where(y_pass, d_y, 0.0)}
+            # ---- chain rule for this splat (8,128) ----
+            opg = op_k * g_k
+            interior = jnp.logical_and(opg <= ALPHA_CLAMP,
+                                       opg >= ALPHA_CUTOFF)
+            interior = jnp.logical_and(interior, t_k > 1e-6)
+            dag = jnp.where(interior, d_alpha, 0.0)
+            d_op = g_k * dag
+            d_G = op_k * dag
+            surf_sel = gs_k >= gc_k
+            dGs_eff = jnp.where(
+                jnp.logical_and(surf_sel,
+                                r2_k <= EXTENT_SIGMA * EXTENT_SIGMA),
+                gs_k * d_G, 0.0)
+            d_u = -u_k * dGs_eff
+            d_v = -v_k * dGs_eff
+            dGc_eff = jnp.where(surf_sel, 0.0, gc_k * d_G)
+            d_xy0 = (dpx_k / AA_SIGMA2) * dGc_eff
+            d_xy1 = (dpy_k / AA_SIGMA2) * dGc_eff
+
+            uvu_raw = 0.5 + a1u_k + t_k * b1ud_k
+            uvv_raw = 0.5 + a2u_k + t_k * b2ud_k
+            u_pass = jnp.logical_and(uvu_raw >= 0.0, uvu_raw <= 1.0)
+            v_pass = jnp.logical_and(uvv_raw >= 0.0, uvv_raw <= 1.0)
+            d_uvu = jnp.where(u_pass, d_x * h_g, 0.0)
+            d_uvv = jnp.where(v_pass, d_y * w_g, 0.0)
+
+            kfac = REG_FAR / (REG_FAR - REG_NEAR)
+            tc = jnp.maximum(t_k, REG_NEAR)
+            d_t = w * g_depth
+            d_t = d_t + jnp.where(t_k >= REG_NEAR,
+                                  d_m * kfac * REG_NEAR / (tc * tc), 0.0)
+            d_t = d_t + d_u * b1d_k + d_v * b2d_k
+            d_t = d_t + d_uvu * b1ud_k + d_uvv * b2ud_k
+
+            nd_pass = jnp.abs(nd_k) >= 1e-9
+            d_an = d_t / snd_k
+            d_nd = jnp.where(nd_pass, -t_k / snd_k * d_t, 0.0)
+
+            wfl = w * fl
+            vals = [
+                jnp.sum(d_nd * d0 + wfl * g_norm[0]),     # 0-2: n
+                jnp.sum(d_nd * d1 + wfl * g_norm[1]),
+                jnp.sum(d_nd * d2 + wfl * g_norm[2]),
+                jnp.sum(d_an),                            # 3: a_n
+                jnp.sum(d_u * t_k * d0),                  # 4-6: b1
+                jnp.sum(d_u * t_k * d1),
+                jnp.sum(d_u * t_k * d2),
+                jnp.sum(d_u),                             # 7: a1
+                jnp.sum(d_v * t_k * d0),                  # 8-10: b2
+                jnp.sum(d_v * t_k * d1),
+                jnp.sum(d_v * t_k * d2),
+                jnp.sum(d_v),                             # 11: a2
+                jnp.sum(d_uvu * t_k * d0),                # 12-14: b1u
+                jnp.sum(d_uvu * t_k * d1),
+                jnp.sum(d_uvu * t_k * d2),
+                jnp.sum(d_uvu),                           # 15: a1u
+                jnp.sum(d_uvv * t_k * d0),                # 16-18: b2u
+                jnp.sum(d_uvv * t_k * d1),
+                jnp.sum(d_uvv * t_k * d2),
+                jnp.sum(d_uvv),                           # 19: a2u
+                jnp.sum(d_op),                            # 20: opacity
+                jnp.sum(w * g_img[0]),                    # 21-23: rgb
+                jnp.sum(w * g_img[1]),
+                jnp.sum(w * g_img[2]),
+                jnp.sum(d_xy0),                           # 24-25: xy
+                jnp.sum(d_xy1),
+            ]
+            # scatter the 26 scalars into row k of the (K, F) grad block:
+            # rank-0 splats + static one-hot columns (Mosaic-safe)
+            row_mask = (kf_iota == k).astype(jnp.float32)
+            for f, v in enumerate(vals):
+                grad_chunk = grad_chunk + v * row_mask * f_onehots[f]
 
             Bs = Bs + s_k * w
             E = E + w
             D = D + w * m
-            T = T_k
+            return (T_k, Bs, E, D, grad_chunk)
 
-        def stack(name):
-            return jnp.concatenate(
-                [per_k[k][name][None] for k in range(CHUNK)], axis=0)
-
-        w_s = stack("w")
-        d_alpha_s = stack("d_alpha")
-        d_m_s = stack("d_m")
-        d_x_s = stack("d_x")
-        d_y_s = stack("d_y")
-
-        # ---- vectorized chain rule over (K, 8, 128) ----
-        opg = col(20) * r["g"]
-        interior = jnp.logical_and(opg <= ALPHA_CLAMP, opg >= ALPHA_CUTOFF)
-        interior = jnp.logical_and(interior, r["t"] > 1e-6)
-        dag = jnp.where(interior, d_alpha_s, 0.0) * valid
-        d_op = r["g"] * dag
-        d_G = col(20) * dag
-        surf_sel = r["g_surf"] >= r["g_scr"]
-        dGs_eff = jnp.where(
-            jnp.logical_and(surf_sel,
-                            r["r2"] <= EXTENT_SIGMA * EXTENT_SIGMA),
-            r["g_surf"] * d_G, 0.0)
-        d_u = -r["u"] * dGs_eff
-        d_v = -r["v"] * dGs_eff
-        dGc_eff = jnp.where(surf_sel, 0.0, r["g_scr"] * d_G)
-        d_xy0 = (r["dpx"] / AA_SIGMA2) * dGc_eff
-        d_xy1 = (r["dpy"] / AA_SIGMA2) * dGc_eff
-
-        uvu_raw = 0.5 + col(15) + r["t"] * r["b1ud"]
-        uvv_raw = 0.5 + col(19) + r["t"] * r["b2ud"]
-        u_pass = jnp.logical_and(uvu_raw >= 0.0, uvu_raw <= 1.0)
-        v_pass = jnp.logical_and(uvv_raw >= 0.0, uvv_raw <= 1.0)
-        d_uvu = jnp.where(u_pass, d_x_s * h_col, 0.0)
-        d_uvv = jnp.where(v_pass, d_y_s * w_col, 0.0)
-
-        kf = REG_FAR / (REG_FAR - REG_NEAR)
-        tc = jnp.maximum(r["t"], REG_NEAR)
-        d_t = w_s * g_depth[None]
-        d_t = d_t + jnp.where(r["t"] >= REG_NEAR,
-                              d_m_s * kf * REG_NEAR / (tc * tc), 0.0)
-        d_t = d_t + d_u * r["b1d"] + d_v * r["b2d"]
-        d_t = d_t + d_uvu * r["b1ud"] + d_uvv * r["b2ud"]
-
-        nd_pass = jnp.abs(r["nd"]) >= 1e-9
-        d_an = d_t / r["safe_nd"]
-        d_nd = jnp.where(nd_pass, -r["t"] / r["safe_nd"] * d_t, 0.0)
-
-        wfl = w_s * r["flip"]
-        d0b, d1b, d2b = d0[None], d1[None], d2[None]
-
-        def red(x):
-            return jnp.sum(x, axis=(1, 2))               # (K,)
-
-        cols = [
-            red(d_nd * d0b + wfl * g_norm[0][None]),      # 0-2: n
-            red(d_nd * d1b + wfl * g_norm[1][None]),
-            red(d_nd * d2b + wfl * g_norm[2][None]),
-            red(d_an),                                    # 3: a_n
-            red(d_u * r["t"] * d0b),                      # 4-6: b1
-            red(d_u * r["t"] * d1b),
-            red(d_u * r["t"] * d2b),
-            red(d_u),                                     # 7: a1
-            red(d_v * r["t"] * d0b),                      # 8-10: b2
-            red(d_v * r["t"] * d1b),
-            red(d_v * r["t"] * d2b),
-            red(d_v),                                     # 11: a2
-            red(d_uvu * r["t"] * d0b),                    # 12-14: b1u
-            red(d_uvu * r["t"] * d1b),
-            red(d_uvu * r["t"] * d2b),
-            red(d_uvu),                                   # 15: a1u
-            red(d_uvv * r["t"] * d0b),                    # 16-18: b2u
-            red(d_uvv * r["t"] * d1b),
-            red(d_uvv * r["t"] * d2b),
-            red(d_uvv),                                   # 19: a2u
-            red(d_op),                                    # 20: opacity
-            red(w_s * g_img[0][None]),                    # 21-23: rgb
-            red(w_s * g_img[1][None]),
-            red(w_s * g_img[2][None]),
-            red(d_xy0),                                   # 24-25: xy
-            red(d_xy1),
-        ]
-        grad_chunk = jnp.concatenate(
-            [cc[:, None] for cc in cols]
-            + [jnp.zeros((CHUNK, F_REC - len(cols)), jnp.float32)], axis=1)
+        T, Bs, E, D, grad_chunk = jax.lax.fori_loop(
+            0, CHUNK, splat_body,
+            (T_next, Bs, E, D, jnp.zeros((CHUNK, F_REC), jnp.float32)))
         drec_ref[0, pl.ds(base, CHUNK), :] = grad_chunk
 
         return (c - 1, T, Bs, E, D)
