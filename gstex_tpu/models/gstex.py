@@ -13,6 +13,7 @@ from typing import NamedTuple, Optional, Sequence, Union
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from ..ops import sh as sh_ops
 from ..ops import ssim as ssim_ops
@@ -418,6 +419,42 @@ def loss_fn(cfg: GStexConfig, outputs: dict, gt_rgb: jax.Array, step,
     total = main + normal_loss + reg_loss
     return total, {"main_loss": main, "l1": l1, "ssim_loss": simloss,
                    "normal_loss": normal_loss, "reg_loss": reg_loss}
+
+
+def cull_gaussians(params: GStexParams, buffers: GStexBuffers,
+                   keep_mask: np.ndarray):
+    """Remove gaussians (``JaggedTexture.cull``, ``jagged_texture.py:66-80``).
+
+    With dense charts this is a row select — no offset rebuild needed.
+    Host-side (changes N). keep_mask: (N,) bool numpy.
+    """
+    keep = np.asarray(keep_mask)
+    sel = lambda a: jnp.asarray(np.asarray(a)[keep])
+    params = GStexParams(*[sel(x) for x in params])
+    buffers = GStexBuffers(
+        texture_hw=sel(buffers.texture_hw),
+        mappings=sel(buffers.mappings),
+        pixel_scale=buffers.pixel_scale,
+        test_colors=sel(buffers.test_colors),
+    )
+    return params, buffers
+
+
+def duplicate_gaussians(params: GStexParams, buffers: GStexBuffers,
+                        dup_mask: np.ndarray):
+    """Append copies of selected gaussians (``dup_and_split`` analog,
+    ``jagged_texture.py:82-114``). Host-side (changes N)."""
+    dup = np.asarray(dup_mask)
+    cat = lambda a: jnp.asarray(
+        np.concatenate([np.asarray(a), np.asarray(a)[dup]], axis=0))
+    params = GStexParams(*[cat(x) for x in params])
+    buffers = GStexBuffers(
+        texture_hw=cat(buffers.texture_hw),
+        mappings=cat(buffers.mappings),
+        pixel_scale=buffers.pixel_scale,
+        test_colors=cat(buffers.test_colors),
+    )
+    return params, buffers
 
 
 def downscale_factor(cfg: GStexConfig, step: int) -> int:

@@ -88,15 +88,21 @@ def assemble_records(geom: SplatGeom, origin, texture_hw) -> jax.Array:
     return jnp.concatenate([rec, hw, pad], axis=-1)
 
 
+CH3_PAD = 128  # DMA slices must be 128-aligned on the minor dim
+
+
 def pack_charts(texture: jax.Array) -> jax.Array:
-    """(N, Ch, Cw, 3) -> (N, Cw', Ch*3) transposed charts (matmul RHS),
-    Cw' padded up to a multiple of 8 for aligned per-splat row blocks."""
+    """(N, Ch, Cw, 3) -> (N, Cw', 128) transposed charts (matmul RHS).
+
+    Cw' pads to a multiple of 8 (aligned per-splat row blocks); the channel
+    dim (Ch·3) pads to 128 because Mosaic DMA slices must be tile-aligned on
+    the minor axis — in VMEM the lanes pad to 128 regardless, so only the
+    transient HBM pair buffer pays for it."""
     n, ch, cw, c = texture.shape
+    assert ch * c <= CH3_PAD
     t = texture.transpose(0, 2, 1, 3).reshape(n, cw, ch * c)
     cw_pad = -(-cw // 8) * 8
-    if cw_pad != cw:
-        t = jnp.pad(t, ((0, 0), (0, cw_pad - cw), (0, 0)))
-    return t
+    return jnp.pad(t, ((0, 0), (0, cw_pad - cw), (0, CH3_PAD - ch * c)))
 
 
 def _cam_info(cam: Camera, px_offset) -> jax.Array:
@@ -214,13 +220,26 @@ def _chart_slice(charts_ref, c, k, cw_blk):
     return charts_ref[0, pl.ds(base, cw_blk), :]
 
 
+def _chart_dma(charts_hbm, t, c, cw_blk, chart_buf, chart_sem, slot):
+    """Async copy of chunk c's chart rows (HBM -> VMEM slot). The charts
+    stay in HBM (pltpu.ANY) and stream per chunk — as VMEM-pipelined blocks
+    they alone would blow the 16M budget (2MB x 2 buffers per kernel)."""
+    rows = CHUNK * cw_blk
+    base = pl.multiple_of(c * rows, 8)
+    return pltpu.make_async_copy(
+        charts_hbm.at[t, pl.ds(base, rows), :],
+        chart_buf.at[slot],
+        chart_sem.at[slot],
+    )
+
+
 def _fetch_texel(chart_t, wy, wx, ch_pad, cw_blk):
     """Separable bilinear fetch for ONE splat: (wy @ chart_t) then contract
     over Ch. Returns ([r,g,b] each (8,128), matmul intermediate)."""
     wy_flat = wy.reshape(8 * 128, cw_blk)
     tmp = jnp.dot(wy_flat, chart_t,
-                  preferred_element_type=jnp.float32)       # (P, Ch3)
-    tmp = tmp.reshape(8, 128, ch_pad * 3)
+                  preferred_element_type=jnp.float32)       # (P, CH3_PAD)
+    tmp = tmp.reshape(8, 128, chart_t.shape[-1])
     outs = []
     for cc in range(3):
         acc = jnp.zeros((8, 128), jnp.float32)
@@ -230,14 +249,50 @@ def _fetch_texel(chart_t, wy, wx, ch_pad, cw_blk):
     return outs, tmp
 
 
+# scratch field registry: per-chunk response staged in a VMEM scratch ref so
+# the inner fori can read per-splat slices with dynamic MAJOR-dim ref
+# indexing (the one dynamic-index pattern Mosaic supports everywhere)
+RESP_FIELDS = [
+    "alpha", "t", "uv_u", "uv_v", "m", "flip",          # 0-5
+    "g", "g_surf", "g_scr", "r2", "u", "v",             # 6-11
+    "b1d", "b2d", "b1ud", "b2ud", "nd", "safe_nd",      # 12-17
+    "dpx", "dpy",                                        # 18-19
+    "c_h", "c_w", "c_op", "c_a1u", "c_a2u",              # 20-24 (record cols)
+    "c_rgb0", "c_rgb1", "c_rgb2", "c_n0", "c_n1", "c_n2",  # 25-30
+]
+RESP_IDX = {n: i for i, n in enumerate(RESP_FIELDS)}
+N_RESP = len(RESP_FIELDS)
+_COL_OF = {"c_h": 26, "c_w": 27, "c_op": 20, "c_a1u": 15, "c_a2u": 19,
+           "c_rgb0": 21, "c_rgb1": 22, "c_rgb2": 23, "c_n0": 0, "c_n1": 1,
+           "c_n2": 2}
+
+
+def _fill_response(resp_ref, chunk, valid, dirs, gx, gy):
+    """Compute the vectorized chunk response and stage it in scratch."""
+    r = _chunk_response(chunk, valid, dirs, gx, gy)
+    for name in RESP_FIELDS:
+        if name.startswith("c_"):
+            colv = _lane_bc(chunk[:, _COL_OF[name]:_COL_OF[name] + 1])
+            val = jnp.broadcast_to(colv[:, None, :], (CHUNK, 8, 128))
+        else:
+            val = r[name]
+        resp_ref[RESP_IDX[name]] = val
+
+
 def _fwd_kernel(grid: TileGrid, s_max: int, chart_pad, cw_blk, counts_ref,
-                cam_ref, records_ref, charts_ref, out_ref, ncontrib_ref):
+                cam_ref, records_ref, charts_ref, out_ref, ncontrib_ref,
+                resp_ref, chart_buf, chart_sem):
     ch_pad = chart_pad[0]
     t = pl.program_id(0)
     count = counts_ref[t]
     n_chunks = (count + CHUNK - 1) // CHUNK
     gx, gy, dirs = _pixel_grids(grid, t, cam_ref)
     k_iota = jax.lax.broadcasted_iota(jnp.int32, (CHUNK, 1, 128), 0)
+
+    @pl.when(n_chunks > 0)
+    def _():
+        _chart_dma(charts_ref, t, 0, cw_blk, chart_buf, chart_sem,
+                   jnp.int32(0)).start()
 
     zeros = jnp.zeros((8, 128), jnp.float32)
     init = {name: zeros for name in CH_NAMES if name != "t_final"}
@@ -251,26 +306,23 @@ def _fwd_kernel(grid: TileGrid, s_max: int, chart_pad, cw_blk, counts_ref,
 
     def body(carry):
         c, ncon, acc = carry
+        slot = jax.lax.rem(c, 2)
+
+        @pl.when(c + 1 < n_chunks)
+        def _():
+            _chart_dma(charts_ref, t, c + 1, cw_blk, chart_buf, chart_sem,
+                       jax.lax.rem(c + 1, 2)).start()
+
+        _chart_dma(charts_ref, t, c, cw_blk, chart_buf, chart_sem,
+                   slot).wait()
+
         base = pl.multiple_of(c * CHUNK, CHUNK)
         chunk = records_ref[0, pl.ds(base, CHUNK), :]        # (K, F)
         valid = (c * CHUNK + k_iota < count).astype(jnp.float32)
-        r = _chunk_response(chunk, valid, dirs, gx, gy)
+        _fill_response(resp_ref, chunk, valid, dirs, gx, gy)
 
-        def col(f):
-            return _lane_bc(chunk[:, f:f + 1])[:, None, :]   # (K,1,128)
-
-        # per-splat selection: Mosaic has no dynamic_slice on values, so ONE
-        # lax.switch per iteration returns every needed slice via static
-        # indexing (8 branches)
-        sel_arrays = [r["alpha"], r["t"], r["uv_u"], r["uv_v"], r["m"],
-                      r["flip"],
-                      col(26), col(27), col(21), col(22), col(23),
-                      col(0), col(1), col(2)]
-
-        def pick(k):
-            def make(i):
-                return lambda: tuple(a[i] for a in sel_arrays)
-            return jax.lax.switch(k, [make(i) for i in range(CHUNK)])
+        def pick(k, name):
+            return resp_ref[RESP_IDX[name], k]
 
         # inner fori so per-splat temporaries (the lane-padded (8,128,cap)
         # weight arrays) are reused, not live simultaneously — the unrolled
@@ -278,8 +330,18 @@ def _fwd_kernel(grid: TileGrid, s_max: int, chart_pad, cw_blk, counts_ref,
         def splat_body(k, inner):
             T, ncon_i, acc_i = inner
             s = c * CHUNK + k
-            (a, t_k, uvu_k, uvv_k, m, fl, h_g, w_g, rgb0, rgb1, rgb2,
-             n0c, n1c, n2c) = pick(k)
+            a = pick(k, "alpha")
+            t_k = pick(k, "t")
+            uvu_k = pick(k, "uv_u")
+            uvv_k = pick(k, "uv_v")
+            m = pick(k, "m")
+            fl = pick(k, "flip")
+            h_g = pick(k, "c_h")
+            w_g = pick(k, "c_w")
+            rgb0, rgb1, rgb2 = (pick(k, "c_rgb0"), pick(k, "c_rgb1"),
+                                pick(k, "c_rgb2"))
+            n0c, n1c, n2c = (pick(k, "c_n0"), pick(k, "c_n1"),
+                             pick(k, "c_n2"))
             considered = jnp.logical_and(a > 0.0, ncon_i == s_max)
             next_T = T * (1.0 - a)
             would_break = jnp.logical_and(considered, next_T <= T_EPS)
@@ -288,7 +350,8 @@ def _fwd_kernel(grid: TileGrid, s_max: int, chart_pad, cw_blk, counts_ref,
 
             wx = _bilinear_weights(uvu_k * h_g, h_g, ch_pad)
             wy = _bilinear_weights(uvv_k * w_g, w_g, cw_blk)
-            chart_t = _chart_slice(charts_ref, c, k, cw_blk)
+            kbase = pl.multiple_of(k * cw_blk, 8)
+            chart_t = chart_buf[slot, pl.ds(kbase, cw_blk), :]
             (tex0, tex1, tex2), _ = _fetch_texel(chart_t, wy, wx, ch_pad,
                                                  cw_blk)
 
@@ -317,7 +380,14 @@ def _fwd_kernel(grid: TileGrid, s_max: int, chart_pad, cw_blk, counts_ref,
         new_acc["t_final"] = T
         return (c + 1, ncon_new, new_acc)
 
-    _, ncontrib, acc = jax.lax.while_loop(cond, body, carry0)
+    c_final, ncontrib, acc = jax.lax.while_loop(cond, body, carry0)
+
+    # an early exit may leave one prefetched DMA in flight — drain it
+    @pl.when(c_final < n_chunks)
+    def _():
+        _chart_dma(charts_ref, t, c_final, cw_blk, chart_buf, chart_sem,
+                   jax.lax.rem(c_final, 2)).wait()
+
     for i, name in enumerate(CH_NAMES):
         out_ref[0, pl.ds(i * 8, 8), :] = acc[name]
     ncontrib_ref[0] = ncontrib
@@ -357,12 +427,16 @@ def rasterize_pallas_fwd(grid: TileGrid, chart_pad, inputs: PallasInputs,
         grid=(num_tiles,),
         in_specs=[
             pl.BlockSpec((1, s_max, F_REC), lambda t, c, cam: (t, 0, 0)),
-            pl.BlockSpec((1, s_max * cw_blk, chart_pad[0] * 3),
-                         lambda t, c, cam: (t, 0, 0)),
+            pl.BlockSpec(memory_space=pltpu.ANY),   # charts stay in HBM
         ],
         out_specs=[
             pl.BlockSpec((1, NCH * 8, 128), lambda t, c, cam: (t, 0, 0)),
             pl.BlockSpec((1, 8, 128), lambda t, c, cam: (t, 0, 0)),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((N_RESP, CHUNK, 8, 128), jnp.float32),
+            pltpu.VMEM((2, CHUNK * cw_blk, CH3_PAD), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
         ],
     )
     out, ncontrib = pl.pallas_call(

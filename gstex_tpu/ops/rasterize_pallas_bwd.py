@@ -29,10 +29,9 @@ from jax.experimental.pallas import tpu as pltpu
 from .binning import TileGrid
 from .surfel import (AA_SIGMA2, ALPHA_CLAMP, ALPHA_CUTOFF, EXTENT_SIGMA,
                      REG_FAR, REG_NEAR)
-from .rasterize_pallas import (CH_NAMES, CHUNK, F_REC, NCH,
-                               _bilinear_weights, _chart_slice,
-                               _chunk_response, _fetch_texel, _lane_bc,
-                               _pixel_grids)
+from .rasterize_pallas import (CH3_PAD, CH_NAMES, CHUNK, F_REC, N_RESP,
+                               NCH, RESP_IDX, _bilinear_weights, _chart_dma,
+                               _fetch_texel, _fill_response, _pixel_grids)
 
 # cotangent channel order in the packed gmaps input (12 channels × 8 sublanes)
 G_NAMES = ["img0", "img1", "img2", "tex0", "tex1", "tex2", "depth", "alpha",
@@ -42,7 +41,8 @@ NG = len(G_NAMES)
 
 def _bwd_kernel(grid: TileGrid, s_max: int, chart_pad, cw_blk, counts_ref,
                 cam_ref, records_ref, charts_ref, fwdout_ref, ncon_ref,
-                gmaps_ref, drec_ref, dchart_ref):
+                gmaps_ref, drec_ref, dchart_ref, resp_ref, chart_buf,
+                chart_sem):
     ch_pad = chart_pad[0]
     t = pl.program_id(0)
     count = counts_ref[t]
@@ -51,7 +51,7 @@ def _bwd_kernel(grid: TileGrid, s_max: int, chart_pad, cw_blk, counts_ref,
 
     # zero-init outputs (pallas blocks are uninitialized)
     drec_ref[0] = jnp.zeros((s_max, F_REC), jnp.float32)
-    dchart_ref[0] = jnp.zeros((s_max * cw_blk, ch_pad * 3), jnp.float32)
+    dchart_ref[0] = jnp.zeros((s_max * cw_blk, CH3_PAD), jnp.float32)
 
     def fwd_ch(name):
         i = CH_NAMES.index(name)
@@ -76,6 +76,11 @@ def _bwd_kernel(grid: TileGrid, s_max: int, chart_pad, cw_blk, counts_ref,
     # skip whole chunks past every pixel's break point
     start = jnp.minimum(count, jnp.max(ncon) + 1)
     n_chunks = (start + CHUNK - 1) // CHUNK
+
+    @pl.when(n_chunks > 0)
+    def _():
+        _chart_dma(charts_ref, t, n_chunks - 1, cw_blk, chart_buf,
+                   chart_sem, jax.lax.rem(n_chunks - 1, 2)).start()
     k_iota = jax.lax.broadcasted_iota(jnp.int32, (CHUNK, 1, 128), 0)
 
     zeros = jnp.zeros((8, 128), jnp.float32)
@@ -90,39 +95,58 @@ def _bwd_kernel(grid: TileGrid, s_max: int, chart_pad, cw_blk, counts_ref,
 
     def body(carry):
         c, T_next, Bs, E, D = carry
+        slot = jax.lax.rem(c, 2)
+
+        @pl.when(c - 1 >= 0)
+        def _():
+            _chart_dma(charts_ref, t, c - 1, cw_blk, chart_buf, chart_sem,
+                       jax.lax.rem(c - 1, 2)).start()
+
+        _chart_dma(charts_ref, t, c, cw_blk, chart_buf, chart_sem,
+                   slot).wait()
+
         base = pl.multiple_of(c * CHUNK, CHUNK)
         chunk = records_ref[0, pl.ds(base, CHUNK), :]        # (K, F)
         valid = (c * CHUNK + k_iota < count).astype(jnp.float32)
-        r = _chunk_response(chunk, valid, dirs, gx, gy)
+        _fill_response(resp_ref, chunk, valid, dirs, gx, gy)
 
-        def col(f):
-            return _lane_bc(chunk[:, f:f + 1])[:, None, :]   # (K,1,128)
-
-        # ONE lax.switch per iteration returns every needed per-splat slice
-        # via static indexing (Mosaic has no dynamic_slice on values)
-        sel_arrays = [
-            r["alpha"], r["m"], r["uv_u"], r["uv_v"], r["t"], r["flip"],
-            r["g"], r["g_surf"], r["g_scr"], r["r2"], r["u"], r["v"],
-            r["b1d"], r["b2d"], r["b1ud"], r["b2ud"], r["nd"], r["safe_nd"],
-            r["dpx"], r["dpy"],
-            col(26), col(27), col(20), col(15), col(19),
-            col(21), col(22), col(23), col(0), col(1), col(2),
-        ]
-
-        def pick(k):
-            def make(i):
-                return lambda: tuple(a[i] for a in sel_arrays)
-            return jax.lax.switch(k, [make(i) for i in range(CHUNK)])
+        def pick(k, name):
+            return resp_ref[RESP_IDX[name], k]
 
         # reverse inner fori: per-splat temporaries are reused (VMEM budget);
         # iterate kk = 0..CHUNK-1 mapping to k = CHUNK-1-kk
         def splat_body(kk, inner):
             T, Bs, E, D, grad_chunk = inner
             k = CHUNK - 1 - kk
-            (a, m, uvu_k, uvv_k, t_k, fl, g_k, gs_k, gc_k, r2_k, u_k, v_k,
-             b1d_k, b2d_k, b1ud_k, b2ud_k, nd_k, snd_k, dpx_k, dpy_k,
-             h_g, w_g, op_k, a1u_k, a2u_k, rgb0, rgb1, rgb2,
-             n0c, n1c, n2c) = pick(k)
+            a = pick(k, "alpha")
+            m = pick(k, "m")
+            uvu_k = pick(k, "uv_u")
+            uvv_k = pick(k, "uv_v")
+            t_k = pick(k, "t")
+            fl = pick(k, "flip")
+            g_k = pick(k, "g")
+            gs_k = pick(k, "g_surf")
+            gc_k = pick(k, "g_scr")
+            r2_k = pick(k, "r2")
+            u_k = pick(k, "u")
+            v_k = pick(k, "v")
+            b1d_k = pick(k, "b1d")
+            b2d_k = pick(k, "b2d")
+            b1ud_k = pick(k, "b1ud")
+            b2ud_k = pick(k, "b2ud")
+            nd_k = pick(k, "nd")
+            snd_k = pick(k, "safe_nd")
+            dpx_k = pick(k, "dpx")
+            dpy_k = pick(k, "dpy")
+            h_g = pick(k, "c_h")
+            w_g = pick(k, "c_w")
+            op_k = pick(k, "c_op")
+            a1u_k = pick(k, "c_a1u")
+            a2u_k = pick(k, "c_a2u")
+            rgb0, rgb1, rgb2 = (pick(k, "c_rgb0"), pick(k, "c_rgb1"),
+                                pick(k, "c_rgb2"))
+            n0c, n1c, n2c = (pick(k, "c_n0"), pick(k, "c_n1"),
+                             pick(k, "c_n2"))
             applied = jnp.logical_and(a > 0.0, c * CHUNK + k < ncon)
             one_minus = 1.0 - a
             T_k = jnp.where(applied, T / one_minus, T)
@@ -132,7 +156,8 @@ def _bwd_kernel(grid: TileGrid, s_max: int, chart_pad, cw_blk, counts_ref,
 
             wx = _bilinear_weights(uvu_k * h_g, h_g, ch_pad)
             wy = _bilinear_weights(uvv_k * w_g, w_g, cw_blk)
-            chart_t = _chart_slice(charts_ref, c, k, cw_blk)
+            kbase = pl.multiple_of(k * cw_blk, 8)
+            chart_t = chart_buf[slot, pl.ds(kbase, cw_blk), :]
             (tex0, tex1, tex2), tmp = _fetch_texel(chart_t, wy, wx, ch_pad,
                                                    cw_blk)
 
@@ -150,11 +175,13 @@ def _bwd_kernel(grid: TileGrid, s_max: int, chart_pad, cw_blk, counts_ref,
             wy_flat = wy.reshape(8 * 128, cw_blk)
             M = jnp.concatenate(
                 [(wx[..., aa] * wcot[cc])[..., None]
-                 for aa in range(ch_pad) for cc in range(3)], axis=-1)
-            M_flat = M.reshape(8 * 128, ch_pad * 3)
+                 for aa in range(ch_pad) for cc in range(3)]
+                + [jnp.zeros((8, 128, CH3_PAD - ch_pad * 3), jnp.float32)],
+                axis=-1)
+            M_flat = M.reshape(8 * 128, CH3_PAD)
             d_chart = jax.lax.dot_general(
                 wy_flat, M_flat, (((0,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32)           # (Cw', Ch3)
+                preferred_element_type=jnp.float32)           # (Cw', 128)
             cbase = pl.multiple_of(c * (CHUNK * cw_blk) + k * cw_blk, 8)
             dchart_ref[0, pl.ds(cbase, cw_blk), :] = d_chart
 
@@ -289,16 +316,20 @@ def rasterize_pallas_bwd(grid: TileGrid, chart_pad, counts, cam_info,
         grid=(num_tiles,),
         in_specs=[
             pl.BlockSpec((1, s_max, F_REC), lambda t, c, cam: (t, 0, 0)),
-            pl.BlockSpec((1, s_max * cw_blk, chart_pad[0] * 3),
-                         lambda t, c, cam: (t, 0, 0)),
+            pl.BlockSpec(memory_space=pltpu.ANY),   # charts stay in HBM
             pl.BlockSpec((1, NCH * 8, 128), lambda t, c, cam: (t, 0, 0)),
             pl.BlockSpec((1, 8, 128), lambda t, c, cam: (t, 0, 0)),
             pl.BlockSpec((1, NG * 8, 128), lambda t, c, cam: (t, 0, 0)),
         ],
         out_specs=[
             pl.BlockSpec((1, s_max, F_REC), lambda t, c, cam: (t, 0, 0)),
-            pl.BlockSpec((1, s_max * cw_blk, chart_pad[0] * 3),
+            pl.BlockSpec((1, s_max * cw_blk, CH3_PAD),
                          lambda t, c, cam: (t, 0, 0)),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((N_RESP, CHUNK, 8, 128), jnp.float32),
+            pltpu.VMEM((2, CHUNK * cw_blk, CH3_PAD), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
         ],
     )
     d_records, d_charts = pl.pallas_call(

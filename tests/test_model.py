@@ -129,3 +129,20 @@ def test_rechart_step_runs():
     assert all(float(jnp.abs(l).max()) == 0.0 for l in big)
     # budget still satisfied
     assert int(model.texel_count(state2.buffers)) > 0
+
+
+def test_cull_and_duplicate():
+    params, buffers = make_model(n=32)
+    keep = np.zeros(32, bool)
+    keep[:20] = True
+    p2, b2 = model.cull_gaussians(params, buffers, keep)
+    assert p2.means.shape[0] == 20
+    np.testing.assert_array_equal(np.asarray(p2.quats),
+                                  np.asarray(params.quats)[:20])
+    dup = np.zeros(20, bool)
+    dup[:5] = True
+    p3, b3 = model.duplicate_gaussians(p2, b2, dup)
+    assert p3.means.shape[0] == 25
+    np.testing.assert_array_equal(np.asarray(p3.means[20:]),
+                                  np.asarray(p2.means[:5]))
+    assert b3.texture_hw.shape[0] == 25
