@@ -53,19 +53,31 @@ def main():
     cam = orbit_camera(H, W, dist=4.0)
     gt = jnp.zeros((H, W, 3), jnp.float32)
 
+    def timed(step_fn, state, iters):
+        losses = []
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            state, metrics = step_fn(state, cam, gt)
+            losses.append(metrics["loss"])
+        jax.block_until_ready(metrics)
+        dt = (time.perf_counter() - t0) / iters
+        return dt, [float(l) for l in losses], state, metrics
+
     def measure(renderer):
         cfg, state, step_fn = build(renderer)
         state, metrics = step_fn(state, cam, gt)   # warmup / compile
         jax.block_until_ready(metrics)
-        iters = 10
-        t0 = time.perf_counter()
-        for _ in range(iters):
-            state, metrics = step_fn(state, cam, gt)
-        jax.block_until_ready(metrics)
-        dt = (time.perf_counter() - t0) / iters
+        # two scales; self-verify real sequential training is happening
+        dt1, losses1, state, _ = timed(step_fn, state, 5)
+        dt2, losses2, state, metrics = timed(step_fn, state, 15)
         assert float(metrics["loss"]) > 0 and float(metrics["psnr"]) < 99, \
             "degenerate bench step"
-        return (H * W / 1e6) / dt
+        assert len(set(losses1 + losses2)) > 3, \
+            f"loss not evolving — bogus measurement: {losses1}"
+        ratio = dt1 / dt2
+        assert 0.5 < ratio < 2.0, \
+            f"inconsistent timing across scales: {dt1} vs {dt2}"
+        return (H * W / 1e6) / dt2
 
     results = {}
     for renderer in ("pallas", "xla"):

@@ -237,7 +237,7 @@ def _raster_core_bwd(grid, res, g_maps):
     texture_grad0 = jnp.zeros_like(texture)
 
     def body(carry, xs):
-        T_next, Bs, E, D, geom_gr, tex_gr = carry
+        T_next, Bs, E, D = carry
         s, ids_s, mask_s = xs
         g = jax.tree.map(lambda a: a[ids_s], geom)
         chart = texture[ids_s]
@@ -280,14 +280,12 @@ def _raster_core_bwd(grid, res, g_maps):
         d_rgb = jnp.einsum("tp,tpc->tc", w, g_img)
         dg = dg._replace(rgb=dg.rgb + d_rgb)
 
-        geom_gr = jax.tree.map(
-            lambda buf, d: buf.at[ids_s].add(d), geom_gr, dg)
-        tex_gr = tex_gr.at[ids_s].add(dchart)
-
         Bs = Bs + s_k * w
         E = E + w
         D = D + w * m
-        return (T_k, Bs, E, D, geom_gr, tex_gr), None
+        # emit per-step pair grads (stacked by scan) — one bulk segment-sum
+        # afterwards is far cheaper than a scatter-add per scan step on TPU
+        return (T_k, Bs, E, D), (dg, dchart)
 
     num_tiles, P = px.shape[0], px.shape[1]
     dt = aux["T_final"].dtype
@@ -296,12 +294,22 @@ def _raster_core_bwd(grid, res, g_maps):
         jnp.zeros((num_tiles, P), dt),
         jnp.zeros((num_tiles, P), dt),
         jnp.zeros((num_tiles, P), dt),
-        geom_grads0,
-        texture_grad0,
     )
     xs = (jnp.arange(s_cap, dtype=jnp.int32), ids.T, mask.T)
-    (_, _, _, _, geom_gr, tex_gr), _ = jax.lax.scan(
+    _, (dg_steps, dchart_steps) = jax.lax.scan(
         body, init, xs, reverse=True)
+
+    # bulk reduction of the (S, T, ...) pair grads by gaussian id
+    n = texture.shape[0]
+    flat_ids = ids.T.reshape(-1)                     # (S*T,)
+    geom_gr = jax.tree.map(
+        lambda stacked, buf: jax.ops.segment_sum(
+            stacked.reshape((-1,) + stacked.shape[2:]), flat_ids,
+            num_segments=n).astype(buf.dtype),
+        dg_steps, geom_grads0)
+    tex_gr = jax.ops.segment_sum(
+        dchart_steps.reshape((-1,) + dchart_steps.shape[2:]), flat_ids,
+        num_segments=n).astype(texture_grad0.dtype)
 
     cam_zeros = jax.tree.map(jnp.zeros_like, cam_arrays)
     aux_zeros = jax.tree.map(
