@@ -54,14 +54,16 @@ def main():
     gt = jnp.zeros((H, W, 3), jnp.float32)
 
     def timed(step_fn, state, iters):
+        # force a host sync every step: on the axon backend
+        # block_until_ready does not reliably wait, so async dispatch makes
+        # whole loops "finish" at dispatch speed
         losses = []
         t0 = time.perf_counter()
         for _ in range(iters):
             state, metrics = step_fn(state, cam, gt)
-            losses.append(metrics["loss"])
-        jax.block_until_ready(metrics)
+            losses.append(float(metrics["loss"]))
         dt = (time.perf_counter() - t0) / iters
-        return dt, [float(l) for l in losses], state, metrics
+        return dt, losses, state, metrics
 
     def measure(renderer):
         cfg, state, step_fn = build(renderer)
@@ -84,8 +86,12 @@ def main():
         try:
             results[renderer] = measure(renderer)
         except Exception as e:
-            print(f"# {renderer} failed: {type(e).__name__}",
+            import traceback
+
+            print(f"# {renderer} failed: {type(e).__name__}: {e}",
                   flush=True)
+            if "--verbose" in __import__("sys").argv:
+                traceback.print_exc()
     best = max(results, key=results.get)
     mpix_s = results[best]
     print(json.dumps({

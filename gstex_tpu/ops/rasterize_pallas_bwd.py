@@ -89,8 +89,12 @@ def _bwd_kernel(grid: TileGrid, s_max: int, chart_pad, cw_blk, counts_ref,
     def cond(carry):
         return carry[0] >= 0
 
-    f_onehots = [
-        jnp.zeros((F_REC,), jnp.float32).at[f].set(1.0) for f in range(26)]
+    import numpy as _np
+
+    # constants (np.eye) — .at[].set would trace a scatter, which Mosaic
+    # cannot lower inside a kernel
+    _eye = _np.eye(F_REC, dtype=_np.float32)
+    f_onehots = [jnp.asarray(_eye[f]) for f in range(26)]
     kf_iota = jax.lax.broadcasted_iota(jnp.int32, (CHUNK, F_REC), 0)
 
     def body(carry):
