@@ -111,9 +111,54 @@ def _splat_local(g: SplatGeom, chart, hw, origin, dirs, px):
     }
 
 
+def _splat_local_chunk(g: SplatGeom, chart, hw, origin, dirs, px):
+    """Chunk-vectorized per-splat quantities: leading dims (T, K, P).
+
+    g fields are (T, K, ...); dirs/px are (T, P, ...). Vectorizing K splats
+    per scan step amortizes the per-step overhead that dominates long scans
+    on TPU.
+    """
+    gk = jax.tree.map(
+        lambda a: a[:, :, None] if a.ndim == 2 else a[:, :, None, :], g)
+    hit = surfel.intersect(gk, origin, dirs[:, None], px[:, None])
+    ch, cw = chart.shape[2], chart.shape[3]
+    hf = hw[..., 0:1, None].astype(chart.dtype)          # (T,K,1,1)
+    wf = hw[..., 1:2, None].astype(chart.dtype)
+    x = jnp.clip(hit["uv"][..., 0] * hf[..., 0], 0.0, hf[..., 0] - 1.0)
+    y = jnp.clip(hit["uv"][..., 1] * wf[..., 0], 0.0, wf[..., 0] - 1.0)
+    a = jnp.arange(ch, dtype=chart.dtype)
+    b = jnp.arange(cw, dtype=chart.dtype)
+    wx = jnp.maximum(0.0, 1.0 - jnp.abs(x[..., None] - a))   # (T,K,P,Ch)
+    wy = jnp.maximum(0.0, 1.0 - jnp.abs(y[..., None] - b))   # (T,K,P,Cw)
+    texel = jnp.einsum("tkpa,tkpb,tkabc->tkpc", wx, wy, chart,
+                       precision=jax.lax.Precision.HIGHEST)
+    m = surfel.reg_depth_map(hit["t"])
+    return {
+        "alpha": hit["alpha"],
+        "texel": texel,
+        "t": hit["t"],
+        "n_eff": hit["n_eff"],
+        "m": m,
+        "uv": hit["uv"],
+    }
+
+
+SCAN_CHUNK = 8  # splats per scan step (s_max must be a multiple)
+
+
+def _chunk_xs(ids, mask, s_cap):
+    num_tiles = ids.shape[0]
+    k = SCAN_CHUNK
+    assert s_cap % k == 0, f"s_max {s_cap} must be a multiple of {k}"
+    ids_c = ids.reshape(num_tiles, s_cap // k, k).transpose(1, 0, 2)
+    mask_c = mask.reshape(num_tiles, s_cap // k, k).transpose(1, 0, 2)
+    s_base = jnp.arange(s_cap // k, dtype=jnp.int32) * k
+    return s_base, ids_c, mask_c
+
+
 def _forward_scan(geom, texture, texture_hw, ids, mask, origin, dirs, px,
                   extra: bool):
-    """Front-to-back blend over the per-tile lists.
+    """Front-to-back blend, SCAN_CHUNK splats per scan step.
 
     Returns (maps, aux) with maps per (T, P[, c]) and aux residuals
     (T_final, n_contrib, m1 total) for the backward walk.
@@ -122,37 +167,41 @@ def _forward_scan(geom, texture, texture_hw, ids, mask, origin, dirs, px,
     s_cap = ids.shape[1]
     tex_c = texture.shape[-1]
     dt = jnp.result_type(texture.dtype, jnp.float32)
+    K = SCAN_CHUNK
 
     def body(carry, xs):
         T, n_contrib, acc = carry
-        s, ids_s, mask_s = xs
-        g = jax.tree.map(lambda a: a[ids_s], geom)
-        chart = texture[ids_s]
-        hw = texture_hw[ids_s]
-        outs = _splat_local(g, chart, hw, origin, dirs, px)
-        a = jnp.where(mask_s[:, None], outs["alpha"], 0.0)
+        s_base, ids_c, mask_c = xs                      # (T,K)
+        g = jax.tree.map(lambda a: a[ids_c], geom)      # (T,K,...)
+        chart = texture[ids_c]
+        hw = texture_hw[ids_c]
+        outs = _splat_local_chunk(g, chart, hw, origin, dirs, px)
+        a_all = jnp.where(mask_c[:, :, None], outs["alpha"], 0.0)
 
-        considered = jnp.logical_and(a > 0.0, n_contrib == s_cap)
-        next_T = T * (1.0 - a)
-        would_break = jnp.logical_and(considered, next_T <= T_EPS)
-        applied = jnp.logical_and(considered, ~would_break)
-        w = jnp.where(applied, a * T, 0.0)
-
-        m = outs["m"]
-        new_acc = {
-            "img": acc["img"] + w[..., None] * g.rgb[:, None, :],
-            "tex": acc["tex"] + w[..., None] * outs["texel"],
-            "depth": acc["depth"] + w * outs["t"],
-            "alpha": acc["alpha"] + w,
-            "normal": acc["normal"] + w[..., None] * outs["n_eff"],
-            "reg": acc["reg"] + 2.0 * w * (m * acc["alpha"] - acc["m1"]),
-            "m1": acc["m1"] + w * m,
-        }
-        if extra:
-            new_acc["uv"] = acc["uv"] + w[..., None] * jnp.concatenate(
-                [outs["uv"], jnp.full_like(outs["uv"][..., :1], 0.5)], axis=-1)
-        T = jnp.where(applied, next_T, T)
-        n_contrib = jnp.where(would_break, s, n_contrib)
+        new_acc = dict(acc)
+        for k in range(K):
+            a = a_all[:, k]
+            considered = jnp.logical_and(a > 0.0, n_contrib == s_cap)
+            next_T = T * (1.0 - a)
+            would_break = jnp.logical_and(considered, next_T <= T_EPS)
+            applied = jnp.logical_and(considered, ~would_break)
+            w = jnp.where(applied, a * T, 0.0)
+            m = outs["m"][:, k]
+            new_acc["img"] = new_acc["img"] + w[..., None] * g.rgb[:, k, None, :]
+            new_acc["tex"] = new_acc["tex"] + w[..., None] * outs["texel"][:, k]
+            new_acc["depth"] = new_acc["depth"] + w * outs["t"][:, k]
+            new_acc["normal"] = (new_acc["normal"]
+                                 + w[..., None] * outs["n_eff"][:, k])
+            new_acc["reg"] = new_acc["reg"] + 2.0 * w * (
+                m * new_acc["alpha"] - new_acc["m1"])
+            new_acc["alpha"] = new_acc["alpha"] + w
+            new_acc["m1"] = new_acc["m1"] + w * m
+            if extra:
+                uv_k = outs["uv"][:, k]
+                new_acc["uv"] = new_acc["uv"] + w[..., None] * jnp.concatenate(
+                    [uv_k, jnp.full_like(uv_k[..., :1], 0.5)], axis=-1)
+            T = jnp.where(applied, next_T, T)
+            n_contrib = jnp.where(would_break, s_base + k, n_contrib)
         return (T, n_contrib, new_acc), None
 
     acc0 = {
@@ -172,7 +221,7 @@ def _forward_scan(geom, texture, texture_hw, ids, mask, origin, dirs, px,
         jnp.full((num_tiles, P), s_cap, jnp.int32),
         acc0,
     )
-    xs = (jnp.arange(s_cap, dtype=jnp.int32), ids.T, mask.T)
+    xs = _chunk_xs(ids, mask, s_cap)
     (T_fin, n_contrib, acc), _ = jax.lax.scan(body, init, xs)
 
     maps = {k: acc[k] for k in acc if k != "m1"}
@@ -236,56 +285,78 @@ def _raster_core_bwd(grid, res, g_maps):
     geom_grads0 = jax.tree.map(jnp.zeros_like, geom)
     texture_grad0 = jnp.zeros_like(texture)
 
+    K = SCAN_CHUNK
+
     def body(carry, xs):
         T_next, Bs, E, D = carry
-        s, ids_s, mask_s = xs
-        g = jax.tree.map(lambda a: a[ids_s], geom)
-        chart = texture[ids_s]
-        hw = texture_hw[ids_s]
+        s_base, ids_c, mask_c = xs                       # (T,K)
+        g = jax.tree.map(lambda a: a[ids_c], geom)
+        chart = texture[ids_c]
+        hw = texture_hw[ids_c]
 
         outs, pull = jax.vjp(
-            lambda g_, c_: _splat_local(g_, c_, hw, origin, dirs, px),
+            lambda g_, c_: _splat_local_chunk(g_, c_, hw, origin, dirs, px),
             g, chart)
-        a = jnp.where(mask_s[:, None], outs["alpha"], 0.0)
-        applied = jnp.logical_and(a > 0.0, s < n_contrib)
-        T_k = jnp.where(applied, T_next / (1.0 - a), T_next)
-        w = jnp.where(applied, a * T_k, 0.0)
+        a_all = jnp.where(mask_c[:, :, None], outs["alpha"], 0.0)
 
-        m = outs["m"]
-        A_k = m0_tot - w - E
-        C_k = m1_tot - w * m - D
+        # reverse unrolled recurrence over the chunk; per-splat cotangents
+        # are collected and pulled back through the chunk vjp in one call
+        cot_alpha = [None] * K
+        cot_texel = [None] * K
+        cot_t = [None] * K
+        cot_n = [None] * K
+        cot_m = [None] * K
+        w_list = [None] * K
+        T = T_next
+        for k in reversed(range(K)):
+            a = a_all[:, k]
+            applied = jnp.logical_and(a > 0.0, s_base + k < n_contrib)
+            T_k = jnp.where(applied, T / (1.0 - a), T)
+            w = jnp.where(applied, a * T_k, 0.0)
+            m = outs["m"][:, k]
+            A_k = m0_tot - w - E
+            C_k = m1_tot - w * m - D
 
-        s_direct = (
-            jnp.einsum("tc,tpc->tp", g.rgb, g_img)
-            + jnp.sum(outs["texel"] * g_tex, axis=-1)
-            + outs["t"] * g_depth
-            + g_alpha
-            + jnp.sum(outs["n_eff"] * g_normal, axis=-1)
-        )
-        s_k = s_direct + 2.0 * g_reg * ((m * A_k - C_k) + (D - m * E))
-        d_alpha = jnp.where(applied, T_k * s_k - Bs / (1.0 - a), 0.0)
-        d_alpha = jnp.where(mask_s[:, None], d_alpha, 0.0)
-        d_m = 2.0 * g_reg * w * (A_k - E)
+            s_direct = (
+                jnp.einsum("tc,tpc->tp", g.rgb[:, k], g_img)
+                + jnp.sum(outs["texel"][:, k] * g_tex, axis=-1)
+                + outs["t"][:, k] * g_depth
+                + g_alpha
+                + jnp.sum(outs["n_eff"][:, k] * g_normal, axis=-1)
+            )
+            s_k = s_direct + 2.0 * g_reg * ((m * A_k - C_k) + (D - m * E))
+            d_alpha = jnp.where(applied, T_k * s_k - Bs / (1.0 - a), 0.0)
+            d_alpha = jnp.where(mask_c[:, k, None], d_alpha, 0.0)
+            d_m = 2.0 * g_reg * w * (A_k - E)
+
+            cot_alpha[k] = d_alpha
+            cot_texel[k] = w[..., None] * g_tex
+            cot_t[k] = w * g_depth
+            cot_n[k] = w[..., None] * g_normal
+            cot_m[k] = d_m
+            w_list[k] = w
+
+            Bs = Bs + s_k * w
+            E = E + w
+            D = D + w * m
+            T = T_k
 
         cot = {
-            "alpha": d_alpha,
-            "texel": w[..., None] * g_tex,
-            "t": w * g_depth,
-            "n_eff": w[..., None] * g_normal,
-            "m": d_m,
+            "alpha": jnp.stack(cot_alpha, axis=1),
+            "texel": jnp.stack(cot_texel, axis=1),
+            "t": jnp.stack(cot_t, axis=1),
+            "n_eff": jnp.stack(cot_n, axis=1),
+            "m": jnp.stack(cot_m, axis=1),
             "uv": jnp.zeros_like(outs["uv"]),
         }
         dg, dchart = pull(cot)
-        # rgb is consumed outside _splat_local (identity): direct cotangent
-        d_rgb = jnp.einsum("tp,tpc->tc", w, g_img)
+        # rgb is consumed outside _splat_local_chunk (identity path)
+        d_rgb = jnp.einsum("tkp,tpc->tkc", jnp.stack(w_list, axis=1), g_img)
         dg = dg._replace(rgb=dg.rgb + d_rgb)
 
-        Bs = Bs + s_k * w
-        E = E + w
-        D = D + w * m
-        # emit per-step pair grads (stacked by scan) — one bulk segment-sum
-        # afterwards is far cheaper than a scatter-add per scan step on TPU
-        return (T_k, Bs, E, D), (dg, dchart)
+        # emit per-chunk pair grads (stacked by scan) — one bulk segment-sum
+        # afterwards is far cheaper than per-step scatter-adds on TPU
+        return (T, Bs, E, D), (dg, dchart)
 
     num_tiles, P = px.shape[0], px.shape[1]
     dt = aux["T_final"].dtype
@@ -295,20 +366,20 @@ def _raster_core_bwd(grid, res, g_maps):
         jnp.zeros((num_tiles, P), dt),
         jnp.zeros((num_tiles, P), dt),
     )
-    xs = (jnp.arange(s_cap, dtype=jnp.int32), ids.T, mask.T)
+    xs = _chunk_xs(ids, mask, s_cap)
     _, (dg_steps, dchart_steps) = jax.lax.scan(
         body, init, xs, reverse=True)
 
-    # bulk reduction of the (S, T, ...) pair grads by gaussian id
+    # bulk reduction of the (S/K, T, K, ...) pair grads by gaussian id
     n = texture.shape[0]
-    flat_ids = ids.T.reshape(-1)                     # (S*T,)
+    flat_ids = xs[1].reshape(-1)                     # (S*T,) chunk-major
     geom_gr = jax.tree.map(
         lambda stacked, buf: jax.ops.segment_sum(
-            stacked.reshape((-1,) + stacked.shape[2:]), flat_ids,
+            stacked.reshape((-1,) + stacked.shape[3:]), flat_ids,
             num_segments=n).astype(buf.dtype),
         dg_steps, geom_grads0)
     tex_gr = jax.ops.segment_sum(
-        dchart_steps.reshape((-1,) + dchart_steps.shape[2:]), flat_ids,
+        dchart_steps.reshape((-1,) + dchart_steps.shape[3:]), flat_ids,
         num_segments=n).astype(texture_grad0.dtype)
 
     cam_zeros = jax.tree.map(jnp.zeros_like, cam_arrays)

@@ -89,13 +89,10 @@ def _bwd_kernel(grid: TileGrid, s_max: int, chart_pad, cw_blk, counts_ref,
     def cond(carry):
         return carry[0] >= 0
 
-    import numpy as _np
-
-    # constants (np.eye) — .at[].set would trace a scatter, which Mosaic
-    # cannot lower inside a kernel
-    _eye = _np.eye(F_REC, dtype=_np.float32)
-    f_onehots = [jnp.asarray(_eye[f]) for f in range(26)]
+    # one-hot masks from 2D iota — .at[].set traces a scatter and captured
+    # array constants are rejected by pallas_call, so build them inline
     kf_iota = jax.lax.broadcasted_iota(jnp.int32, (CHUNK, F_REC), 0)
+    ff_iota = jax.lax.broadcasted_iota(jnp.int32, (CHUNK, F_REC), 1)
 
     def body(carry):
         c, T_next, Bs, E, D = carry
@@ -285,9 +282,9 @@ def _bwd_kernel(grid: TileGrid, s_max: int, chart_pad, cw_blk, counts_ref,
             ]
             # scatter the 26 scalars into row k of the (K, F) grad block:
             # rank-0 splats + static one-hot columns (Mosaic-safe)
-            row_mask = (kf_iota == k).astype(jnp.float32)
             for f, v in enumerate(vals):
-                grad_chunk = grad_chunk + v * row_mask * f_onehots[f]
+                mask_kf = jnp.logical_and(kf_iota == k, ff_iota == f)
+                grad_chunk = grad_chunk + v * mask_kf.astype(jnp.float32)
 
             Bs = Bs + s_k * w
             E = E + w
