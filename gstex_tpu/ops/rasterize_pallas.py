@@ -427,7 +427,7 @@ def rasterize_pallas_fwd(grid: TileGrid, chart_pad, inputs: PallasInputs,
         grid=(num_tiles,),
         in_specs=[
             pl.BlockSpec((1, s_max, F_REC), lambda t, c, cam: (t, 0, 0)),
-            pl.BlockSpec(memory_space=pltpu.ANY),   # charts stay in HBM
+            pl.BlockSpec(memory_space=pl.ANY),   # charts stay in HBM
         ],
         out_specs=[
             pl.BlockSpec((1, NCH * 8, 128), lambda t, c, cam: (t, 0, 0)),

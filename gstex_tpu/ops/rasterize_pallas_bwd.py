@@ -317,7 +317,7 @@ def rasterize_pallas_bwd(grid: TileGrid, chart_pad, counts, cam_info,
         grid=(num_tiles,),
         in_specs=[
             pl.BlockSpec((1, s_max, F_REC), lambda t, c, cam: (t, 0, 0)),
-            pl.BlockSpec(memory_space=pltpu.ANY),   # charts stay in HBM
+            pl.BlockSpec(memory_space=pl.ANY),   # charts stay in HBM
             pl.BlockSpec((1, NCH * 8, 128), lambda t, c, cam: (t, 0, 0)),
             pl.BlockSpec((1, 8, 128), lambda t, c, cam: (t, 0, 0)),
             pl.BlockSpec((1, NG * 8, 128), lambda t, c, cam: (t, 0, 0)),
