@@ -68,7 +68,8 @@ def main():
     def measure(renderer):
         cfg, state, step_fn = build(renderer)
         state, metrics = step_fn(state, cam, gt)   # warmup / compile
-        jax.block_until_ready(metrics)
+        float(metrics["loss"])  # true device sync (block_until_ready lies
+                                # on the axon backend; program load is lazy)
         # two scales; self-verify real sequential training is happening
         dt1, losses1, state, _ = timed(step_fn, state, 5)
         dt2, losses2, state, metrics = timed(step_fn, state, 15)

@@ -114,11 +114,11 @@ def _bwd_kernel(grid: TileGrid, s_max: int, chart_pad, cw_blk, counts_ref,
         def pick(k, name):
             return resp_ref[RESP_IDX[name], k]
 
-        # reverse inner fori: per-splat temporaries are reused (VMEM budget);
-        # iterate kk = 0..CHUNK-1 mapping to k = CHUNK-1-kk
-        def splat_body(kk, inner):
-            T, Bs, E, D, grad_chunk = inner
-            k = CHUNK - 1 - kk
+        # reverse inner WHILE loop: a static-bound fori gets unrolled by
+        # Mosaic, keeping every iteration's lane-padded temporaries live at
+        # once (VMEM OOM); while_loop keeps one iteration's buffers
+        def splat_body(inner):
+            k, T, Bs, E, D, grad_chunk = inner
             a = pick(k, "alpha")
             m = pick(k, "m")
             uvu_k = pick(k, "uv_u")
@@ -289,11 +289,12 @@ def _bwd_kernel(grid: TileGrid, s_max: int, chart_pad, cw_blk, counts_ref,
             Bs = Bs + s_k * w
             E = E + w
             D = D + w * m
-            return (T_k, Bs, E, D, grad_chunk)
+            return (k - 1, T_k, Bs, E, D, grad_chunk)
 
-        T, Bs, E, D, grad_chunk = jax.lax.fori_loop(
-            0, CHUNK, splat_body,
-            (T_next, Bs, E, D, jnp.zeros((CHUNK, F_REC), jnp.float32)))
+        _, T, Bs, E, D, grad_chunk = jax.lax.while_loop(
+            lambda inner: inner[0] >= 0, splat_body,
+            (jnp.int32(CHUNK - 1), T_next, Bs, E, D,
+             jnp.zeros((CHUNK, F_REC), jnp.float32)))
         drec_ref[0, pl.ds(base, CHUNK), :] = grad_chunk
 
         return (c - 1, T, Bs, E, D)
