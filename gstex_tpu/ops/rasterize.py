@@ -71,6 +71,17 @@ def _expand_geom(g: SplatGeom) -> SplatGeom:
     return jax.tree.map(lambda a: a[:, None] if a.ndim == 1 else a[:, None, :], g)
 
 
+# texel-fetch contraction precision: "highest" = fp32 (exact parity);
+# "default" = bf16 multiplies (~2-8x faster on MXU, ~0.4% relative error on
+# albedo values). Settable by benchmarks/configs.
+TEXEL_PRECISION = "highest"
+
+
+def _texel_precision():
+    return (jax.lax.Precision.HIGHEST if TEXEL_PRECISION == "highest"
+            else jax.lax.Precision.DEFAULT)
+
+
 def _separable_texel(chart, hw, uv):
     """Bilinear chart sample as a separable-weight contraction (gather-free).
 
@@ -89,7 +100,7 @@ def _separable_texel(chart, hw, uv):
     wx = jnp.maximum(0.0, 1.0 - jnp.abs(x[..., None] - a))   # (T,P,Ch)
     wy = jnp.maximum(0.0, 1.0 - jnp.abs(y[..., None] - b))   # (T,P,Cw)
     return jnp.einsum("tpa,tpb,tabc->tpc", wx, wy, chart,
-                      precision=jax.lax.Precision.HIGHEST)
+                      precision=_texel_precision())
 
 
 def _splat_local(g: SplatGeom, chart, hw, origin, dirs, px):
@@ -131,7 +142,7 @@ def _splat_local_chunk(g: SplatGeom, chart, hw, origin, dirs, px):
     wx = jnp.maximum(0.0, 1.0 - jnp.abs(x[..., None] - a))   # (T,K,P,Ch)
     wy = jnp.maximum(0.0, 1.0 - jnp.abs(y[..., None] - b))   # (T,K,P,Cw)
     texel = jnp.einsum("tkpa,tkpb,tkabc->tkpc", wx, wy, chart,
-                       precision=jax.lax.Precision.HIGHEST)
+                       precision=_texel_precision())
     m = surfel.reg_depth_map(hit["t"])
     return {
         "alpha": hit["alpha"],

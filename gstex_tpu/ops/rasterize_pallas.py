@@ -47,7 +47,7 @@ from .surfel import (AA_SIGMA2, ALPHA_CLAMP, ALPHA_CUTOFF, EXTENT_SIGMA,
                      REG_FAR, REG_NEAR, T_EPS, SplatGeom)
 
 F_REC = 32
-CHUNK = 8  # splats processed per loop iteration (aligned row blocks)
+CHUNK = 4  # splats processed per loop iteration (aligned row blocks)
 # packed output channels (each occupying 8 sublanes of the (1, NCH*8, 128)
 # output block): img(3) tex(3) depth alpha normal(3) reg | T_final m1
 CH_NAMES = ["img0", "img1", "img2", "tex0", "tex1", "tex2", "depth", "alpha",
@@ -233,9 +233,27 @@ def _chart_dma(charts_hbm, t, c, cw_blk, chart_buf, chart_sem, slot):
     )
 
 
+import os as _os
+
+_DEBUG_SKIP = _os.environ.get("GSTEX_PALLAS_SKIP", "")
+
+
 def _fetch_texel(chart_t, wy, wx, ch_pad, cw_blk):
     """Separable bilinear fetch for ONE splat: (wy @ chart_t) then contract
     over Ch. Returns ([r,g,b] each (8,128), matmul intermediate)."""
+    if "fetch" in _DEBUG_SKIP:  # perf-isolation hook (dev only)
+        z = wx[..., 0] * 0.0
+        return [z, z, z], jnp.zeros((8, 128, chart_t.shape[-1]), jnp.float32)
+    if "matmul" in _DEBUG_SKIP:
+        tmp = jnp.broadcast_to((wy[..., 0] + chart_t[0, 0])[..., None],
+                               (8, 128, chart_t.shape[-1]))
+        outs = []
+        for cc in range(3):
+            acc = jnp.zeros((8, 128), jnp.float32)
+            for aa in range(ch_pad):
+                acc = acc + wx[..., aa] * tmp[..., aa * 3 + cc]
+            outs.append(acc)
+        return outs, tmp
     wy_flat = wy.reshape(8 * 128, cw_blk)
     tmp = jnp.dot(wy_flat, chart_t,
                   preferred_element_type=jnp.float32)       # (P, CH3_PAD)
@@ -281,7 +299,7 @@ def _fill_response(resp_ref, chunk, valid, dirs, gx, gy):
 
 def _fwd_kernel(grid: TileGrid, s_max: int, chart_pad, cw_blk, counts_ref,
                 cam_ref, records_ref, charts_ref, out_ref, ncontrib_ref,
-                resp_ref, chart_buf, chart_sem):
+                chart_buf, chart_sem):
     ch_pad = chart_pad[0]
     t = pl.program_id(0)
     count = counts_ref[t]
@@ -319,64 +337,55 @@ def _fwd_kernel(grid: TileGrid, s_max: int, chart_pad, cw_blk, counts_ref,
         base = pl.multiple_of(c * CHUNK, CHUNK)
         chunk = records_ref[0, pl.ds(base, CHUNK), :]        # (K, F)
         valid = (c * CHUNK + k_iota < count).astype(jnp.float32)
-        _fill_response(resp_ref, chunk, valid, dirs, gx, gy)
+        r = _chunk_response(chunk, valid, dirs, gx, gy)
+        cb = chart_buf[slot]                                 # (K*Cw', 128)
 
-        def pick(k, name):
-            return resp_ref[RESP_IDX[name], k]
+        def col(f):
+            return _lane_bc(chunk[:, f:f + 1])[:, None, :]   # (K,1,128)
 
-        # inner fori so per-splat temporaries (the lane-padded (8,128,cap)
-        # weight arrays) are reused, not live simultaneously — the unrolled
-        # form blows the 16M VMEM budget
-        def splat_body(k, inner):
-            T, ncon_i, acc_i = inner
+        rgb_c = [col(21), col(22), col(23)]
+        n_c = [col(0), col(1), col(2)]
+        h_c, w_c = col(26), col(27)
+
+        # fully unrolled blend: static value slices only — dynamic-index VMEM
+        # reads cost ~100s of cycles each and dominated the staged variant
+        new_acc = dict(acc)
+        T = acc["t_final"]
+        ncon_new = ncon
+        for k in range(CHUNK):
             s = c * CHUNK + k
-            a = pick(k, "alpha")
-            t_k = pick(k, "t")
-            uvu_k = pick(k, "uv_u")
-            uvv_k = pick(k, "uv_v")
-            m = pick(k, "m")
-            fl = pick(k, "flip")
-            h_g = pick(k, "c_h")
-            w_g = pick(k, "c_w")
-            rgb0, rgb1, rgb2 = (pick(k, "c_rgb0"), pick(k, "c_rgb1"),
-                                pick(k, "c_rgb2"))
-            n0c, n1c, n2c = (pick(k, "c_n0"), pick(k, "c_n1"),
-                             pick(k, "c_n2"))
-            considered = jnp.logical_and(a > 0.0, ncon_i == s_max)
+            a = r["alpha"][k]
+            considered = jnp.logical_and(a > 0.0, ncon_new == s_max)
             next_T = T * (1.0 - a)
             would_break = jnp.logical_and(considered, next_T <= T_EPS)
             applied = jnp.logical_and(considered, ~would_break)
             w = jnp.where(applied, a * T, 0.0)
 
-            wx = _bilinear_weights(uvu_k * h_g, h_g, ch_pad)
-            wy = _bilinear_weights(uvv_k * w_g, w_g, cw_blk)
-            kbase = pl.multiple_of(k * cw_blk, 8)
-            chart_t = chart_buf[slot, pl.ds(kbase, cw_blk), :]
+            h_g, w_g = h_c[k], w_c[k]                        # (1,128)
+            wx = _bilinear_weights(r["uv_u"][k] * h_g, h_g, ch_pad)
+            wy = _bilinear_weights(r["uv_v"][k] * w_g, w_g, cw_blk)
+            chart_t = cb[k * cw_blk:(k + 1) * cw_blk, :]
             (tex0, tex1, tex2), _ = _fetch_texel(chart_t, wy, wx, ch_pad,
                                                  cw_blk)
 
-            na = dict(acc_i)
-            na["img0"] = acc_i["img0"] + w * rgb0
-            na["img1"] = acc_i["img1"] + w * rgb1
-            na["img2"] = acc_i["img2"] + w * rgb2
-            na["tex0"] = acc_i["tex0"] + w * tex0
-            na["tex1"] = acc_i["tex1"] + w * tex1
-            na["tex2"] = acc_i["tex2"] + w * tex2
-            na["depth"] = acc_i["depth"] + w * t_k
-            na["n0"] = acc_i["n0"] + w * fl * n0c
-            na["n1"] = acc_i["n1"] + w * fl * n1c
-            na["n2"] = acc_i["n2"] + w * fl * n2c
-            na["reg"] = acc_i["reg"] + 2.0 * w * (
-                m * acc_i["alpha"] - acc_i["m1"])
-            na["alpha"] = acc_i["alpha"] + w
-            na["m1"] = acc_i["m1"] + w * m
+            m = r["m"][k]
+            fl = r["flip"][k]
+            new_acc["img0"] = new_acc["img0"] + w * rgb_c[0][k]
+            new_acc["img1"] = new_acc["img1"] + w * rgb_c[1][k]
+            new_acc["img2"] = new_acc["img2"] + w * rgb_c[2][k]
+            new_acc["tex0"] = new_acc["tex0"] + w * tex0
+            new_acc["tex1"] = new_acc["tex1"] + w * tex1
+            new_acc["tex2"] = new_acc["tex2"] + w * tex2
+            new_acc["depth"] = new_acc["depth"] + w * r["t"][k]
+            new_acc["n0"] = new_acc["n0"] + w * fl * n_c[0][k]
+            new_acc["n1"] = new_acc["n1"] + w * fl * n_c[1][k]
+            new_acc["n2"] = new_acc["n2"] + w * fl * n_c[2][k]
+            new_acc["reg"] = new_acc["reg"] + 2.0 * w * (
+                m * new_acc["alpha"] - new_acc["m1"])
+            new_acc["alpha"] = new_acc["alpha"] + w
+            new_acc["m1"] = new_acc["m1"] + w * m
             T = jnp.where(applied, next_T, T)
-            ncon_i = jnp.where(would_break, s, ncon_i)
-            return (T, ncon_i, na)
-
-        T, ncon_new, new_acc = jax.lax.fori_loop(
-            0, CHUNK, splat_body, (acc["t_final"], ncon, acc))
-        new_acc = dict(new_acc)
+            ncon_new = jnp.where(would_break, s, ncon_new)
         new_acc["t_final"] = T
         return (c + 1, ncon_new, new_acc)
 
@@ -434,7 +443,6 @@ def rasterize_pallas_fwd(grid: TileGrid, chart_pad, inputs: PallasInputs,
             pl.BlockSpec((1, 8, 128), lambda t, c, cam: (t, 0, 0)),
         ],
         scratch_shapes=[
-            pltpu.VMEM((N_RESP, CHUNK, 8, 128), jnp.float32),
             pltpu.VMEM((2, CHUNK * cw_blk, CH3_PAD), jnp.float32),
             pltpu.SemaphoreType.DMA((2,)),
         ],
@@ -448,7 +456,8 @@ def rasterize_pallas_fwd(grid: TileGrid, chart_pad, inputs: PallasInputs,
         ],
         interpret=interpret,
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("arbitrary",)),
+            dimension_semantics=("arbitrary",),
+            vmem_limit_bytes=100 * 1024 * 1024),
     )(inputs.counts, inputs.cam_info, inputs.records_t, inputs.charts_g)
     maps = {name: out[:, i * 8:(i + 1) * 8, :]
             for i, name in enumerate(CH_NAMES)}

@@ -343,6 +343,7 @@ def rasterize_pallas_bwd(grid: TileGrid, chart_pad, counts, cam_info,
         ],
         interpret=interpret,
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("arbitrary",)),
+            dimension_semantics=("arbitrary",),
+            vmem_limit_bytes=100 * 1024 * 1024),
     )(counts, cam_info, records_t, charts_g, fwd_out, ncontrib, gmaps)
     return d_records, d_charts

@@ -25,12 +25,12 @@ def _post(path, payload):
     req = urllib.request.Request(
         f"http://127.0.0.1:{PORT}{path}",
         data=json.dumps(payload).encode(), method="POST")
-    return json.loads(urllib.request.urlopen(req, timeout=10).read())
+    return json.loads(urllib.request.urlopen(req, timeout=120).read())
 
 
 def _get(path):
     return urllib.request.urlopen(
-        f"http://127.0.0.1:{PORT}{path}", timeout=10)
+        f"http://127.0.0.1:{PORT}{path}", timeout=120)
 
 
 @pytest.fixture(scope="module")
