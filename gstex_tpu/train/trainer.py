@@ -145,8 +145,7 @@ class Trainer:
                     model.texel_count(self.state.buffers))
                 self.writer.scalars(step, metrics)
                 if metrics.get("overflow", 0) > 0:
-                    print(f"WARNING step {step}: pair/list overflow "
-                          f"{int(metrics['overflow'])} — raise pair_cap/s_max")
+                    self._grow_capacities(step, int(metrics["overflow"]))
 
             if (tcfg.steps_per_eval_image > 0 and self.eval_cache
                     and step % tcfg.steps_per_eval_image == 0):
@@ -159,6 +158,28 @@ class Trainer:
         self.save()
         print(profiler.summary())
         self.writer.close()
+
+    def _grow_capacities(self, step: int, overflow: int):
+        """Overflow-driven capacity growth: double the per-tile list cap /
+        pair cap (bucketed so recompiles are rare) when splats were dropped.
+        Capacities are static under jit — growing swaps in re-jitted steps."""
+        mcfg = self.mcfg
+        new_s = min(mcfg.s_max * 2, 4096)
+        new_p = min(mcfg.pair_cap * 2, 1 << 23)
+        if new_s == mcfg.s_max and new_p == mcfg.pair_cap:
+            print(f"WARNING step {step}: overflow {overflow} at max "
+                  f"capacities (s_max={mcfg.s_max})")
+            return
+        print(f"step {step}: overflow {overflow} — growing s_max "
+              f"{mcfg.s_max}->{new_s}, pair_cap {mcfg.pair_cap}->{new_p} "
+              f"(recompiling)")
+        self.mcfg = mcfg = dataclasses.replace(mcfg, s_max=new_s,
+                                               pair_cap=new_p)
+        self._train_step = step_mod.make_train_step(mcfg, self.tx)
+        self._rechart = step_mod.make_rechart_step(mcfg)
+        self._eval = step_mod.make_eval_step(mcfg)
+        if self.viewer is not None:
+            self.viewer.cfg = mcfg
 
     def _device_image(self, img: np.ndarray):
         key = id(img)

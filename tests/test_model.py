@@ -146,3 +146,24 @@ def test_cull_and_duplicate():
     np.testing.assert_array_equal(np.asarray(p3.means[20:]),
                                   np.asarray(p2.means[:5]))
     assert b3.texture_hw.shape[0] == 25
+
+
+def test_trainer_capacity_growth(tmp_path):
+    from gstex_tpu.data.manager import FullImageCache
+    from gstex_tpu.data.synthetic import orbit_camera
+    from gstex_tpu.train.trainer import Trainer, TrainerConfig
+
+    # tiny caps force overflow -> trainer must grow and keep training
+    cfg = model.GStexConfig(chart_pad=(4, 4), tile_h=8, tile_w=16,
+                            pair_cap=64, s_max=8, pixel_num=300,
+                            background_color="black")
+    params, buffers = make_model(n=64)
+    cam = orbit_camera(40, 48, dist=3.0)
+    img = np.zeros((40, 48, 3), np.uint8)
+    cache = FullImageCache(cameras=[cam], images=[img])
+    tcfg = TrainerConfig(max_num_iterations=3, steps_per_save=0,
+                         steps_per_eval_image=0, log_every=1,
+                         output_dir=str(tmp_path))
+    tr = Trainer(tcfg, cfg, optim.OptimConfig(), params, buffers, cache)
+    tr.train()
+    assert tr.mcfg.s_max > 8, "capacity did not grow on overflow"
