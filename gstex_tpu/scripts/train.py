@@ -79,6 +79,8 @@ def add_common_args(p):
     p.add_argument("--viewer", action="store_true",
                    help="serve the interactive viewer while training")
     p.add_argument("--viewer-port", type=int, default=7007)
+    p.add_argument("--num-devices", type=int, default=0,
+                   help=">1: shard tile rows across a device mesh")
 
 
 def main(argv=None):
@@ -109,7 +111,8 @@ def main(argv=None):
     out = args.output_dir or f"outputs/{exp}/{method.name}/{ts}"
     method.trainer = dataclasses.replace(
         method.trainer, output_dir=out,
-        load_checkpoint=args.load_checkpoint)
+        load_checkpoint=args.load_checkpoint,
+        num_devices=args.num_devices)
 
     from ..data.manager import FullImageCache
     from ..train.trainer import Trainer

@@ -67,6 +67,7 @@ class TrainerConfig:
     output_dir: str = "outputs/unnamed"
     load_checkpoint: Optional[str] = None
     log_every: int = 10
+    num_devices: int = 0   # >1: shard tile rows over a device mesh
 
 
 class Trainer:
@@ -87,11 +88,33 @@ class Trainer:
                                                  self.state)
             print(f"resumed from {tcfg.load_checkpoint} at step "
                   f"{int(self.state.step)}")
+        self.mesh = None
+        if tcfg.num_devices > 1:
+            # tile-row sharding over the device mesh (parallel/shard.py);
+            # per-camera image sizes select the banded step lazily
+            from jax.sharding import Mesh
+
+            devs = np.array(jax.devices()[: tcfg.num_devices])
+            self.mesh = Mesh(devs, ("tile",))
+            self._sharded_steps: dict = {}
         self._train_step = step_mod.make_train_step(mcfg, self.tx)
         self._rechart = step_mod.make_rechart_step(mcfg)
         self._eval = step_mod.make_eval_step(mcfg)
         self._img_cache: dict = {}
         self.viewer = None
+
+    def _step_for(self, cam):
+        if self.mesh is None:
+            return self._train_step
+        key = (cam.height, cam.width)
+        if key not in self._sharded_steps:
+            from ..parallel.shard import make_sharded_train_step
+
+            self._sharded_steps[key] = make_sharded_train_step(
+                self.mcfg, self.tx, self.mesh, cam.height, cam.width)
+        fn = self._sharded_steps[key]
+        # the sharded step signature has no mask; composite it upstream
+        return lambda state, cam_, gt, mask=None: fn(state, cam_, gt)
 
     def attach_viewer(self, port: int = 7007):
         """Start the interactive web viewer sharing this trainer's state."""
@@ -125,8 +148,8 @@ class Trainer:
                 lock = (self.viewer.train_lock if self.viewer is not None
                         else _NULL_LOCK)
                 with lock:
-                    self.state, metrics = self._train_step(self.state, cam,
-                                                           gt, m)
+                    self.state, metrics = self._step_for(cam)(
+                        self.state, cam, gt, m)
 
             # AFTER_TRAIN_ITERATION hooks (gstex.py:901-923)
             if (mcfg.build_chart_every > 0 and step > 0
@@ -175,6 +198,8 @@ class Trainer:
               f"(recompiling)")
         self.mcfg = mcfg = dataclasses.replace(mcfg, s_max=new_s,
                                                pair_cap=new_p)
+        if self.mesh is not None:
+            self._sharded_steps = {}
         self._train_step = step_mod.make_train_step(mcfg, self.tx)
         self._rechart = step_mod.make_rechart_step(mcfg)
         self._eval = step_mod.make_eval_step(mcfg)

@@ -60,3 +60,21 @@ def test_sharded_train_matches_single():
                                np.asarray(s2.params.means), atol=1e-5)
     np.testing.assert_allclose(np.asarray(s1.params.texture),
                                np.asarray(s2.params.texture), atol=1e-5)
+
+
+def test_trainer_multidevice(tmp_path):
+    """End-to-end: Trainer with num_devices=8 runs the shard_map step."""
+    from gstex_tpu.data.manager import FullImageCache
+    from gstex_tpu.train.trainer import Trainer, TrainerConfig
+
+    state, tx, cam = setup(n=32)
+    img = np.zeros((H, W, 3), np.uint8)
+    cache = FullImageCache(cameras=[cam], images=[img])
+    tcfg = TrainerConfig(max_num_iterations=3, steps_per_save=0,
+                         steps_per_eval_image=0, log_every=1,
+                         output_dir=str(tmp_path), num_devices=8)
+    tr = Trainer(tcfg, CFG, optim.OptimConfig(), state.params, state.buffers,
+                 cache)
+    tr.train()
+    assert tr.mesh is not None
+    assert int(tr.state.step) == 3
