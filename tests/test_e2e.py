@@ -118,3 +118,42 @@ def test_cli_resume(dataset_dir, tmp_path):
         "--output-dir", str(out2)])
     ckpt2 = next((out2 / "checkpoints").glob("*.npz"))
     assert "step-000000019" in ckpt2.name or "step-000000020" in ckpt2.name
+
+
+def test_cli_render_camera_path(dataset_dir, tmp_path):
+    from gstex_tpu.scripts import render as render_cli
+    from gstex_tpu.scripts import train as train_cli
+
+    out_dir = tmp_path / "run_r"
+    train_cli.main([
+        "gstex-blender-nvs", "--data", str(dataset_dir),
+        "--init-ply", str(dataset_dir / "init.ply"),
+        "--max-num-iterations", "5", "--pixel-num", "400",
+        "--steps-per-eval-image", "0",
+        "--output-dir", str(out_dir)])
+
+    # nerfstudio-style camera_path.json (the render panel's output format)
+    from gstex_tpu.data.synthetic import orbit_camera
+
+    kfs = []
+    for az in (0.0, 1.0):
+        cam = orbit_camera(40, 40, dist=3.5, azimuth=az)
+        c2w4 = np.eye(4)
+        c2w4[:3] = np.asarray(cam.c2w)
+        kfs.append({"camera_to_world": c2w4.reshape(-1).tolist(),
+                    "fov": 50.0})
+    path_json = tmp_path / "camera_path.json"
+    path_json.write_text(json.dumps({
+        "camera_path": kfs, "render_height": 40, "render_width": 48,
+        "fps": 24, "seconds": 2}))
+
+    render_out = tmp_path / "frames"
+    render_cli.main(["camera-path", "--load-config", str(out_dir),
+                     "--camera-path-filename", str(path_json),
+                     "--output-path", str(render_out)])
+    frames = sorted(render_out.glob("frame_*.png"))
+    assert len(frames) == 2
+    from PIL import Image
+
+    arr = np.array(Image.open(frames[0]))
+    assert arr.shape == (40, 48, 3)
