@@ -277,7 +277,9 @@ def render(
 
         maps = rasterize_pl(prep.geom, texture, buffers.texture_hw, bins,
                             cam, grid,
-                            interpret=cfg.renderer == "pallas_interpret")
+                            interpret="interpret" in cfg.renderer,
+                            version=1 if cfg.renderer.startswith("pallas1")
+                            else 2)
     else:
         maps = rasterize(prep.geom, texture, buffers.texture_hw, bins, cam,
                          grid, extra_channels=extra)

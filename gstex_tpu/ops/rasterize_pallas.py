@@ -220,11 +220,14 @@ def _chart_slice(charts_ref, c, k, cw_blk):
     return charts_ref[0, pl.ds(base, cw_blk), :]
 
 
-def _chart_dma(charts_hbm, t, c, cw_blk, chart_buf, chart_sem, slot):
+def _chart_dma(charts_hbm, t, c, cw_blk, chart_buf, chart_sem, slot,
+               chunk=None):
     """Async copy of chunk c's chart rows (HBM -> VMEM slot). The charts
-    stay in HBM (pltpu.ANY) and stream per chunk — as VMEM-pipelined blocks
-    they alone would blow the 16M budget (2MB x 2 buffers per kernel)."""
-    rows = CHUNK * cw_blk
+    stay in HBM (pl.ANY) and stream per chunk — as VMEM-pipelined blocks
+    they alone would blow the default VMEM budget. ``chunk`` defaults to
+    this module's CHUNK; kernels with a different chunk size must pass
+    their own."""
+    rows = (chunk if chunk is not None else CHUNK) * cw_blk
     base = pl.multiple_of(c * rows, 8)
     return pltpu.make_async_copy(
         charts_hbm.at[t, pl.ds(base, rows), :],

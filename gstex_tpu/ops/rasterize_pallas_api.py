@@ -19,12 +19,20 @@ from .camera import Camera
 from .surfel import SplatGeom
 from . import rasterize_pallas as rp
 from . import rasterize_pallas_bwd as rpb
+from . import rasterize_pallas2 as rp2
 
 
-@partial(jax.custom_vjp, nondiff_argnums=(0, 1, 2))
-def _core(grid: TileGrid, chart_pad, interpret, records_t, charts_g, counts,
-          cam_info):
-    maps, _ = rp.rasterize_pallas_fwd(
+def _impls(version):
+    if version == 2:
+        return rp2.rasterize_pallas2_fwd, rp2.rasterize_pallas2_bwd
+    return rp.rasterize_pallas_fwd, rpb.rasterize_pallas_bwd
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(0, 1, 2, 3))
+def _core(grid: TileGrid, chart_pad, interpret, version, records_t, charts_g,
+          counts, cam_info):
+    fwd, _ = _impls(version)
+    maps, _ = fwd(
         grid, chart_pad,
         rp.PallasInputs(records_t, charts_g, counts, cam_info),
         interpret=interpret)
@@ -35,9 +43,10 @@ def _repack(maps):
     return jnp.concatenate([maps[n] for n in rp.CH_NAMES], axis=1)
 
 
-def _core_fwd(grid, chart_pad, interpret, records_t, charts_g, counts,
-              cam_info):
-    maps, ncontrib = rp.rasterize_pallas_fwd(
+def _core_fwd(grid, chart_pad, interpret, version, records_t, charts_g,
+              counts, cam_info):
+    fwd, _ = _impls(version)
+    maps, ncontrib = fwd(
         grid, chart_pad,
         rp.PallasInputs(records_t, charts_g, counts, cam_info),
         interpret=interpret)
@@ -45,10 +54,11 @@ def _core_fwd(grid, chart_pad, interpret, records_t, charts_g, counts,
     return out, (records_t, charts_g, counts, cam_info, out, ncontrib)
 
 
-def _core_bwd(grid, chart_pad, interpret, res, g_out):
+def _core_bwd(grid, chart_pad, interpret, version, res, g_out):
     records_t, charts_g, counts, cam_info, out, ncontrib = res
+    _, bwd = _impls(version)
     gmaps = g_out[:, : rpb.NG * 8, :]   # cotangents of the 12 real channels
-    d_records, d_charts = rpb.rasterize_pallas_bwd(
+    d_records, d_charts = bwd(
         grid, chart_pad, counts, cam_info, records_t, charts_g, out,
         ncontrib, gmaps, interpret=interpret)
     return (d_records, d_charts,
@@ -68,14 +78,15 @@ def rasterize_pl(
     grid: TileGrid,
     px_offset=None,
     interpret: bool = False,
+    version: int = 2,
 ):
     """Pallas-path render; same outputs as ``rasterize.rasterize``."""
     chart_pad = (texture.shape[1], texture.shape[2])
     packed = rp.pack_charts(texture)
     inputs = rp.prepare_pallas_inputs(geom, packed, texture_hw, bins, cam,
                                       px_offset)
-    out = _core(grid, chart_pad, interpret, inputs.records_t, inputs.charts_g,
-                inputs.counts, inputs.cam_info)
+    out = _core(grid, chart_pad, interpret, version, inputs.records_t,
+                inputs.charts_g, inputs.counts, inputs.cam_info)
 
     def ch(name):
         i = rp.CH_NAMES.index(name)

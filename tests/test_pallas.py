@@ -37,12 +37,16 @@ def prep_and_bins(scene, cam, s_max=64):
     return prep, bins
 
 
-def test_pallas_forward_matches_xla():
+import pytest
+
+
+@pytest.mark.parametrize("version", [1, 2])
+def test_pallas_forward_matches_xla(version):
     scene, cam = setup()
     prep, bins = prep_and_bins(scene, cam)
     assert int(bins.overflow) == 0
     out_pl = rasterize_pl(prep.geom, scene["texture"], scene["texture_hw"],
-                          bins, cam, GRID, interpret=True)
+                          bins, cam, GRID, interpret=True, version=version)
     out_xla = rasterize(prep.geom, scene["texture"], scene["texture_hw"],
                         bins, cam, GRID)
     for k in ["img", "texture_rgb", "depth", "alpha", "normal", "reg"]:
@@ -59,7 +63,8 @@ def _loss(render_fn, scene, cam, cot, s_max=64):
     return sum(jnp.sum(out[k] * cot[k]) for k in cot)
 
 
-def test_pallas_gradients_match_xla():
+@pytest.mark.parametrize("version", [1, 2])
+def test_pallas_gradients_match_xla(version):
     scene, cam = setup(n=48, seed=3)
     ks = jax.random.split(jax.random.key(9), 6)
     cot = {
@@ -75,8 +80,8 @@ def test_pallas_gradients_match_xla():
     rest = {k: scene[k] for k in scene if k not in diff_keys}
     diff = {k: scene[k] for k in diff_keys}
 
-    pl_fn = lambda g, t, hw, b, c, gr: rasterize_pl(g, t, hw, b, c, gr,
-                                                    interpret=True)
+    pl_fn = lambda g, t, hw, b, c, gr: rasterize_pl(
+        g, t, hw, b, c, gr, interpret=True, version=version)
     g_pl = jax.grad(lambda d: _loss(pl_fn, {**d, **rest}, cam, cot))(diff)
     g_xla = jax.grad(lambda d: _loss(rasterize, {**d, **rest}, cam, cot))(diff)
 
