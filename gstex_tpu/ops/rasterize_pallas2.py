@@ -121,11 +121,20 @@ def _weights_row(coord, size, cap):
     return jnp.maximum(0.0, 1.0 - jnp.abs(x - a))
 
 
+import os as _os
+
+_DEBUG_SKIP = _os.environ.get("GSTEX_PALLAS_SKIP", "")
+
+
 def _fetch2(chart, wy, wx, ch_pad):
     """tex (3, P) = Σ_a wx[a]·(chartᵀ·wy)[a·3+c].
 
     chart: (cw, 128); wy: (cw, P); wx: (ch, P).
     Returns (tex (3,P), tmp (128,P))."""
+    if "fetch" in _DEBUG_SKIP:  # perf-isolation hook (dev only)
+        z = wx[0:1, :] * 0.0
+        return jnp.concatenate([z, z, z], axis=0), jnp.zeros((128, P),
+                                                             jnp.float32)
     tmp = jax.lax.dot_general(chart, wy, (((0,), (0,)), ((), ())),
                               preferred_element_type=jnp.float32)  # (128, P)
     tex = jnp.zeros((3, P), jnp.float32)
