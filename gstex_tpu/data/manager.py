@@ -39,6 +39,7 @@ class FullImageCache:
               max_workers: int = 8) -> "FullImageCache":
         dist = getattr(parsed, "distortion", None)
         mask_files = getattr(parsed, "mask_filenames", None)
+        cam_type = getattr(parsed, "camera_type", "perspective")
 
         def load(i):
             img = _load_image(parsed.image_filenames[i])
@@ -50,9 +51,21 @@ class FullImageCache:
 
                 k1, k2, k3, k4, p1, p2 = [float(v) for v in dist[i]]
                 K = np.array([[fx, 0, cx], [0, fy, cy], [0, 0, 1]])
-                d = np.array([k1, k2, p1, p2, k3])
-                newK, _ = cv2.getOptimalNewCameraMatrix(K, d, (w, h), 0)
-                img = cv2.undistort(img, K, d, newCameraMatrix=newK)
+                if cam_type == "fisheye":
+                    # equidistant model → rectified pinhole, mirroring the
+                    # FISHEYE branch of _undistort_image
+                    # (full_images_datamanager.py:439-470)
+                    d = np.array([k1, k2, k3, k4])
+                    newK = cv2.fisheye.estimateNewCameraMatrixForUndistortRectify(
+                        K, d, (w, h), np.eye(3), balance=0.0)
+                    m1, m2 = cv2.fisheye.initUndistortRectifyMap(
+                        K, d, np.eye(3), newK, (w, h), cv2.CV_32FC1)
+                    img = cv2.remap(img, m1, m2,
+                                    interpolation=cv2.INTER_LINEAR)
+                else:
+                    d = np.array([k1, k2, p1, p2, k3])
+                    newK, _ = cv2.getOptimalNewCameraMatrix(K, d, (w, h), 0)
+                    img = cv2.undistort(img, K, d, newCameraMatrix=newK)
                 fx, fy = float(newK[0, 0]), float(newK[1, 1])
                 cx, cy = float(newK[0, 2]), float(newK[1, 2])
             cam = make_camera(fx, fy, cx, cy, img.shape[0], img.shape[1],

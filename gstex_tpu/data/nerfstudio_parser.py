@@ -99,6 +99,11 @@ def parse_nerfstudio(
         widths=(np.array([ww[i] for i in sel], np.int64) * scale).astype(np.int64),
     )
     out.distortion = np.array([dist[i] for i in sel], np.float32)  # type: ignore
+    # camera_model: OPENCV (perspective) | OPENCV_FISHEYE (equidistant)
+    # (nerfstudio transforms.json convention; full_images_datamanager.py
+    # branches undistortion on CameraType at 366-517)
+    model = str(meta.get("camera_model", "OPENCV")).upper()
+    out.camera_type = "fisheye" if "FISHEYE" in model else "perspective"  # type: ignore
     if any("mask_path" in fr for fr in frames):
         out.mask_filenames = [
             (data_dir / frames[i]["mask_path"]) if "mask_path" in frames[i]

@@ -32,6 +32,8 @@ from ..models.gstex import GStexParams
 
 @dataclasses.dataclass(frozen=True)
 class OptimConfig:
+    """Per-group optimizer settings (see module docstring)."""
+
     spatial_scale: float = 5.0      # Blender ≈5 (gstex_configs.py:66), COLMAP 2
     xyz_lr_mult: float = 1.0        # ×10 for the LOD configs (gstex_configs.py:355)
     max_steps: int = 15000
@@ -42,6 +44,10 @@ class OptimConfig:
     rotation_lr: float = 1e-3
     texture_lr: float = 1e-3
     adam_eps: float = 1e-15
+    # per-group gradient accumulation, mirroring TrainerConfig.
+    # gradient_accumulation_steps (engine/trainer.py:451-466); the reference
+    # configs only set it for the inert camera_opt group
+    gradient_accumulation: tuple = ()   # e.g. (("texture_dc", 4),)
 
 
 GROUP_OF_LEAF = GStexParams(
@@ -55,13 +61,51 @@ GROUP_OF_LEAF = GStexParams(
 )
 
 
-def exp_decay_schedule(lr_init: float, lr_final: float, max_steps: int):
-    """Log-space interpolation, mirroring ``ExponentialDecayScheduler``
-    (``engine/schedulers.py:109-141``, no warmup)."""
+def exp_decay_schedule(lr_init: float, lr_final: float, max_steps: int,
+                       warmup_steps: int = 0, ramp: str = "cosine"):
+    """Log-space interpolation with optional warmup, mirroring
+    ``ExponentialDecayScheduler`` (``engine/schedulers.py:109-141``)."""
 
     def fn(step):
-        t = jnp.clip(step / max_steps, 0.0, 1.0)
-        return jnp.exp(jnp.log(lr_init) * (1 - t) + jnp.log(lr_final) * t)
+        if warmup_steps > 0:
+            if ramp == "cosine":
+                warm = lr_init * jnp.sin(
+                    0.5 * jnp.pi * jnp.clip(step / warmup_steps, 0, 1))
+            else:
+                warm = lr_init * jnp.clip(step / warmup_steps, 0, 1)
+        t = jnp.clip((step - warmup_steps) / (max_steps - warmup_steps),
+                     0.0, 1.0)
+        lr = jnp.exp(jnp.log(lr_init) * (1 - t) + jnp.log(lr_final) * t)
+        if warmup_steps > 0:
+            lr = jnp.where(step < warmup_steps, warm, lr)
+        return lr
+
+    return fn
+
+
+def multi_step_schedule(lr_init: float, milestones, gamma: float = 0.33):
+    """``MultiStepScheduler`` (``engine/schedulers.py:77``) analog."""
+
+    def fn(step):
+        k = sum((step >= m).astype(jnp.float32) if hasattr(step, "dtype")
+                else float(step >= m) for m in milestones)
+        return lr_init * gamma ** k
+
+    return fn
+
+
+def cosine_decay_schedule(lr_init: float, lr_final: float, max_steps: int,
+                          warmup_steps: int = 0):
+    """``CosineDecayScheduler`` (``engine/schedulers.py:158``) analog."""
+
+    def fn(step):
+        warm = lr_init * jnp.clip(step / jnp.maximum(warmup_steps, 1), 0, 1)
+        t = jnp.clip((step - warmup_steps) / (max_steps - warmup_steps),
+                     0.0, 1.0)
+        cos = lr_final + 0.5 * (lr_init - lr_final) * (1 + jnp.cos(
+            jnp.pi * t))
+        return jnp.where(step < warmup_steps, warm, cos) if warmup_steps \
+            else cos
 
     return fn
 
@@ -81,6 +125,9 @@ def make_optimizer(cfg: OptimConfig) -> optax.GradientTransformation:
         "rotation": adam(cfg.rotation_lr),
         "texture_dc": adam(cfg.texture_lr),
     }
+    for group, every in dict(cfg.gradient_accumulation).items():
+        transforms[group] = optax.MultiSteps(transforms[group],
+                                             every_k_schedule=every)
     return optax.multi_transform(transforms, GROUP_OF_LEAF)
 
 
