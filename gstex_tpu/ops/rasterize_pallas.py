@@ -322,8 +322,9 @@ def _fwd_kernel(grid: TileGrid, s_max: int, chart_pad, cw_blk, counts_ref,
 
     def cond(carry):
         c, ncon, acc = carry
-        return jnp.logical_and(c < n_chunks,
-                               jnp.max(acc["t_final"]) > T_EPS)
+        # see rasterize_pallas2: t_final never drops below T_EPS (a break
+        # leaves T unchanged), so exit when every pixel has broken instead
+        return jnp.logical_and(c < n_chunks, jnp.max(ncon) == s_max)
 
     def body(carry):
         c, ncon, acc = carry

@@ -35,7 +35,7 @@ import functools as _ft
 from .rasterize_pallas import (CH3_PAD, CH_NAMES, F_REC, NCH, PallasInputs)
 from .rasterize_pallas import _chart_dma as _chart_dma_base
 
-CHUNK = 8
+CHUNK = 16
 _chart_dma = _ft.partial(_chart_dma_base, chunk=CHUNK)
 
 P = 1024  # pixels per 32x32 tile
@@ -164,8 +164,11 @@ def _fwd_kernel2(grid: TileGrid, s_max: int, ch_pad, cw_blk, counts_ref,
 
     def cond(carry):
         c, ncon, acc = carry
-        return jnp.logical_and(c < n_chunks,
-                               jnp.max(acc["t_final"]) > T_EPS)
+        # a broken pixel keeps its (just-above-T_EPS) transmittance, so
+        # t_final can't signal tile completion; "every pixel has recorded a
+        # break index" can (unbroken pixels always have T > T_EPS, and once
+        # all pixels broke no further splat is applied — output-identical)
+        return jnp.logical_and(c < n_chunks, jnp.max(ncon) == s_max)
 
     def body(carry):
         c, ncon, acc = carry

@@ -81,6 +81,9 @@ def add_common_args(p):
     p.add_argument("--viewer-port", type=int, default=7007)
     p.add_argument("--num-devices", type=int, default=0,
                    help=">1: shard tile rows across a device mesh")
+    p.add_argument("--renderer", default=None,
+                   choices=["xla", "pallas", "pallas1", "pallas_interpret"],
+                   help="renderer tier override (default: method config)")
 
 
 def main(argv=None):
@@ -94,6 +97,9 @@ def main(argv=None):
     if args.pixel_num is not None:
         method.model = dataclasses.replace(method.model,
                                            pixel_num=args.pixel_num)
+    if args.renderer is not None:
+        method.model = dataclasses.replace(method.model,
+                                           renderer=args.renderer)
     if args.max_num_iterations is not None:
         method.trainer = dataclasses.replace(
             method.trainer, max_num_iterations=args.max_num_iterations)
