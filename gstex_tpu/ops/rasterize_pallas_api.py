@@ -20,9 +20,12 @@ from .surfel import SplatGeom
 from . import rasterize_pallas as rp
 from . import rasterize_pallas_bwd as rpb
 from . import rasterize_pallas2 as rp2
+from . import rasterize_pallas3 as rp3
 
 
 def _impls(version):
+    if version == 3:
+        return rp3.rasterize_pallas3_fwd, rp3.rasterize_pallas3_bwd
     if version == 2:
         return rp2.rasterize_pallas2_fwd, rp2.rasterize_pallas2_bwd
     return rp.rasterize_pallas_fwd, rpb.rasterize_pallas_bwd
@@ -78,11 +81,12 @@ def rasterize_pl(
     grid: TileGrid,
     px_offset=None,
     interpret: bool = False,
-    version: int = 2,
+    version: int = 3,
 ):
     """Pallas-path render; same outputs as ``rasterize.rasterize``."""
     chart_pad = (texture.shape[1], texture.shape[2])
-    packed = rp.pack_charts(texture)
+    packed = (rp3.pack_charts_cmajor(texture) if version == 3
+              else rp.pack_charts(texture))
     inputs = rp.prepare_pallas_inputs(geom, packed, texture_hw, bins, cam,
                                       px_offset)
     out = _core(grid, chart_pad, interpret, version, inputs.records_t,
