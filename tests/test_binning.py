@@ -79,3 +79,21 @@ def test_overflow_counted():
         got = np.asarray(trunc.ids[t])[np.asarray(trunc.mask[t])]
         ref = np.asarray(full.ids[t])[np.asarray(full.mask[t])][: len(got)]
         np.testing.assert_array_equal(got, ref)
+
+
+def test_coverage_matches_sort_path():
+    scene, cam, prep = _prepared(n=200, h=96, w=128)
+    grid = TileGrid(height=96, width=128, tile_h=16, tile_w=16)
+    args = (prep.centers, prep.extents, prep.depths, prep.valid, grid)
+    a = build_tile_bins(*args, pair_cap=8192, s_max=64, method="coverage")
+    b = build_tile_bins(*args, pair_cap=8192, s_max=64, method="sort")
+    np.testing.assert_array_equal(np.asarray(a.ids), np.asarray(b.ids))
+    np.testing.assert_array_equal(np.asarray(a.mask), np.asarray(b.mask))
+    np.testing.assert_array_equal(np.asarray(a.counts), np.asarray(b.counts))
+    assert int(a.total_pairs) == int(b.total_pairs)
+    assert int(a.overflow) == int(b.overflow)
+    # truncation semantics also agree
+    at = build_tile_bins(*args, pair_cap=8192, s_max=4, method="coverage")
+    bt = build_tile_bins(*args, pair_cap=8192, s_max=4, method="sort")
+    np.testing.assert_array_equal(np.asarray(at.ids), np.asarray(bt.ids))
+    np.testing.assert_array_equal(np.asarray(at.mask), np.asarray(bt.mask))
