@@ -275,11 +275,16 @@ def render(
     if cfg.renderer.startswith("pallas") and not extra:
         from ..ops.rasterize_pallas_api import rasterize_pl
 
+        if cfg.renderer.startswith("pallas1"):
+            version = 1
+        elif cfg.renderer.startswith("pallas2"):
+            version = 2
+        else:
+            version = 3
         maps = rasterize_pl(prep.geom, texture, buffers.texture_hw, bins,
                             cam, grid,
                             interpret="interpret" in cfg.renderer,
-                            version=1 if cfg.renderer.startswith("pallas1")
-                            else 2)
+                            version=version)
     else:
         maps = rasterize(prep.geom, texture, buffers.texture_hw, bins, cam,
                          grid, extra_channels=extra)
