@@ -279,8 +279,10 @@ def render(
             version = 1
         elif cfg.renderer.startswith("pallas2"):
             version = 2
-        else:
+        elif cfg.renderer.startswith("pallas3"):
             version = 3
+        else:
+            version = 4
         maps = rasterize_pl(prep.geom, texture, buffers.texture_hw, bins,
                             cam, grid,
                             interpret="interpret" in cfg.renderer,

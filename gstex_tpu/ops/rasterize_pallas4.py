@@ -1,0 +1,552 @@
+"""Pallas rasterizer v4 — gather-free chart streaming by gaussian id.
+
+v3 consumed a pair-space chart buffer ``charts_g (T, S·Cw', 128)`` built by
+an XLA gather (``texture_packed[bins.ids]``): 1.3 GB per 800² frame at
+s_max=512, written once, read back by both kernels, and its autodiff
+transpose scatter-added another 1.3 GB of pair-space texel grads.
+
+v4 deletes the pair buffer: each tile's id row (``bins.ids``, int32) is
+DMA'd into SMEM at tile start, and every splat's chart tile streams
+directly from the *global* packed table ``(N·Cw', 128)`` with a per-splat
+dynamic-index DMA (``table.at[gid·Cw']``, id read from SMEM scratch —
+validated by scripts_dev/tpu_dma_probe.py). Chart HBM traffic becomes
+count-limited (real pairs only, early-exit included) instead of
+s_max-padded, and the forward residuals shrink by the full pair buffer.
+
+The backward still emits pair-space ``d_charts`` (conflict-free per-slot
+writes); the API layer reduces them to per-gaussian grads with one
+``segment_sum`` over ``bins.ids`` (measured cheaper than the autodiff
+scatter of the gather it replaces).
+
+Blend math, record layout, and output maps are identical to v3
+(chunk-vectorized prefix/suffix scans). Replaces the CUDA
+``texture_gaussians`` fused kernels (SURVEY.md §2.1 stages 5-6, reference
+call site ``nerfstudio/models/gstex.py:1165``).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .binning import TileGrid
+from .surfel import (AA_SIGMA2, ALPHA_CLAMP, ALPHA_CUTOFF, EXTENT_SIGMA,
+                     REG_FAR, REG_NEAR, T_EPS)
+from .rasterize_pallas import CH3_PAD, CH_NAMES, F_REC, NCH
+from .rasterize_pallas2 import G_NAMES, NG, P, _pixel_rows, _rep, _response2
+from .rasterize_pallas3 import (_bil_weights, _cumprod_incl, _cumsum_excl,
+                                _dot_cols, _row_iota, _sufprod_incl,
+                                _sufsum_excl, _sum_rows)
+
+CHUNK = 16
+
+
+class PallasInputs4(NamedTuple):
+    records_t: jax.Array   # (T, S, F)
+    ids: jax.Array         # (T, S) int32 — per-tile gaussian ids
+    counts: jax.Array      # (T,) int32 (clamped to s_max)
+    cam_info: jax.Array    # (18,)
+
+
+def _splat_dma(table_ref, ids_smem, cw_blk, chart_buf, chart_sem, c, k,
+               slot):
+    gid = ids_smem[c * CHUNK + k]
+    return pltpu.make_async_copy(
+        table_ref.at[pl.ds(gid * cw_blk, cw_blk)],
+        chart_buf.at[slot, pl.ds(k * cw_blk, cw_blk)],
+        chart_sem.at[slot])
+
+
+def _chunk_dma_start(table_ref, ids_smem, cw_blk, chart_buf, chart_sem, c,
+                     slot):
+    for k in range(CHUNK):
+        _splat_dma(table_ref, ids_smem, cw_blk, chart_buf, chart_sem, c, k,
+                   slot).start()
+
+
+def _chunk_dma_wait(table_ref, ids_smem, cw_blk, chart_buf, chart_sem, c,
+                    slot):
+    for k in range(CHUNK):
+        _splat_dma(table_ref, ids_smem, cw_blk, chart_buf, chart_sem, c, k,
+                   slot).wait()
+
+
+IDS_TILE = 1024  # int32 1-D HBM tiling: DMA slices must be 1024-aligned
+
+
+def _ids_pad(s_max):
+    return -(-s_max // IDS_TILE) * IDS_TILE
+
+
+def _fwd_kernel4(grid: TileGrid, s_max: int, ch_blk, cw_blk, counts_ref,
+                 cam_ref, records_ref, ids_ref, table_ref, out_ref,
+                 ncontrib_ref, ids_smem, chart_buf, chart_sem, ids_sem):
+    t = pl.program_id(0)
+    count = counts_ref[t]
+    n_chunks = (count + CHUNK - 1) // CHUNK
+    gx, gy, dirs = _pixel_rows(grid, t, cam_ref)
+    k_iota = _row_iota((CHUNK, P))
+
+    ids_cp = pltpu.make_async_copy(
+        ids_ref.at[pl.ds(pl.multiple_of(t * _ids_pad(s_max), IDS_TILE),
+                         _ids_pad(s_max))], ids_smem, ids_sem)
+    ids_cp.start()
+    ids_cp.wait()
+
+    @pl.when(n_chunks > 0)
+    def _():
+        _chunk_dma_start(table_ref, ids_smem, cw_blk, chart_buf, chart_sem,
+                         jnp.int32(0), jnp.int32(0))
+
+    zrow = jnp.zeros((1, P), jnp.float32)
+    acc0 = {name: zrow for name in CH_NAMES if name != "t_final"}
+    acc0["t_final"] = jnp.ones((1, P), jnp.float32)  # frozen T
+    carry0 = (jnp.int32(0), jnp.full((1, P), s_max, jnp.int32),
+              jnp.ones((1, P), jnp.float32), acc0)
+
+    def cond(carry):
+        c, ncon, t_plain, acc = carry
+        return jnp.logical_and(c < n_chunks, jnp.max(ncon) == s_max)
+
+    def body(carry):
+        c, ncon, t_plain, acc = carry
+        slot = jax.lax.rem(c, 2)
+
+        @pl.when(c + 1 < n_chunks)
+        def _():
+            _chunk_dma_start(table_ref, ids_smem, cw_blk, chart_buf,
+                             chart_sem, c + 1, jax.lax.rem(c + 1, 2))
+
+        _chunk_dma_wait(table_ref, ids_smem, cw_blk, chart_buf, chart_sem,
+                        c, slot)
+
+        base = pl.multiple_of(c * CHUNK, CHUNK)
+        chunk = records_ref[0, pl.ds(base, CHUNK), :]        # (K, F)
+        valid = (c * CHUNK + k_iota < count).astype(jnp.float32)
+        r = _response2(chunk, valid, dirs, gx, gy)
+        cb = chart_buf[slot]                                 # (K*cw, 128)
+
+        a = r["alpha"]                                       # (K, P)
+        incl = _cumprod_incl(1.0 - a) * t_plain
+        excl = jnp.where(k_iota == 0, t_plain, pltpu.roll(incl, 1, axis=0))
+        applied = jnp.logical_and(a > 0.0, incl > T_EPS)
+        w = jnp.where(applied, a * excl, 0.0)
+
+        # break bookkeeping: the first (and only) k with excl>eps>=incl
+        brk = jnp.logical_and(a > 0.0,
+                              jnp.logical_and(incl <= T_EPS, excl > T_EPS))
+        s_glob = c * CHUNK + k_iota
+        ncon = jnp.minimum(
+            ncon, jnp.min(jnp.where(brk, s_glob, s_max), axis=0,
+                          keepdims=True))
+        t_froz = jnp.minimum(
+            acc["t_final"],
+            jnp.min(jnp.where(incl > T_EPS, incl, 2.0), axis=0,
+                    keepdims=True))
+
+        m = r["m"]
+        pw = _cumsum_excl(w)
+        pwm = _cumsum_excl(w * m)
+        reg_add = _sum_rows(2.0 * w * (m * (acc["alpha"] + pw)
+                                       - (acc["m1"] + pwm)))
+
+        img_d = _dot_cols(chunk[:, 21:24], w)                # (3, P)
+        nrm_d = _dot_cols(chunk[:, 0:3], w * r["flip"])      # (3, P)
+
+        h_c = _rep(chunk[:, 26:27])
+        w_c = _rep(chunk[:, 27:28])
+        tex = [jnp.zeros((1, P), jnp.float32) for _ in range(3)]
+        for k in range(CHUNK):
+            wk = w[k:k + 1, :]
+            wx = _bil_weights(r["uv_u"][k:k + 1, :] * h_c[k:k + 1, :],
+                              h_c[k:k + 1, :], ch_blk)
+            wy = _bil_weights(r["uv_v"][k:k + 1, :] * w_c[k:k + 1, :],
+                              w_c[k:k + 1, :], cw_blk)
+            chart_k = cb[k * cw_blk:(k + 1) * cw_blk, :]     # (cw, 128)
+            tmp = _dot_cols(chart_k, wy)                     # (128, P)
+            for ci in range(3):
+                prod = wx * tmp[ci * ch_blk:(ci + 1) * ch_blk, :]
+                tex[ci] = tex[ci] + wk * _sum_rows(prod)
+
+        new_acc = dict(acc)
+        new_acc["img0"] = acc["img0"] + img_d[0:1, :]
+        new_acc["img1"] = acc["img1"] + img_d[1:2, :]
+        new_acc["img2"] = acc["img2"] + img_d[2:3, :]
+        new_acc["tex0"] = acc["tex0"] + tex[0]
+        new_acc["tex1"] = acc["tex1"] + tex[1]
+        new_acc["tex2"] = acc["tex2"] + tex[2]
+        new_acc["depth"] = acc["depth"] + _sum_rows(w * r["t"])
+        new_acc["n0"] = acc["n0"] + nrm_d[0:1, :]
+        new_acc["n1"] = acc["n1"] + nrm_d[1:2, :]
+        new_acc["n2"] = acc["n2"] + nrm_d[2:3, :]
+        new_acc["reg"] = acc["reg"] + reg_add
+        new_acc["alpha"] = acc["alpha"] + _sum_rows(w)
+        new_acc["m1"] = acc["m1"] + _sum_rows(w * m)
+        new_acc["t_final"] = t_froz
+        return (c + 1, ncon, incl[CHUNK - 1:CHUNK, :], new_acc)
+
+    c_final, ncontrib, _, acc = jax.lax.while_loop(cond, body, carry0)
+
+    @pl.when(c_final < n_chunks)
+    def _():
+        _chunk_dma_wait(table_ref, ids_smem, cw_blk, chart_buf, chart_sem,
+                        c_final, jax.lax.rem(c_final, 2))
+
+    for i, name in enumerate(CH_NAMES):
+        out_ref[0, pl.ds(i * 8, 8), :] = acc[name].reshape(8, 128)
+    ncontrib_ref[0] = ncontrib.reshape(8, 128)
+
+
+def rasterize_pallas4_fwd(grid: TileGrid, chart_pad, inputs: PallasInputs4,
+                          table: jax.Array, interpret: bool = False):
+    num_tiles, s_max, f = inputs.records_t.shape
+    ch_blk = -(-chart_pad[0] // 8) * 8
+    cw_blk = -(-chart_pad[1] // 8) * 8
+    kernel = functools.partial(_fwd_kernel4, grid, s_max, ch_blk, cw_blk)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(num_tiles,),
+        in_specs=[
+            pl.BlockSpec((1, s_max, F_REC), lambda t, c, cam: (t, 0, 0)),
+            pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM),
+            pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, NCH * 8, 128), lambda t, c, cam: (t, 0, 0)),
+            pl.BlockSpec((1, 8, 128), lambda t, c, cam: (t, 0, 0)),
+        ],
+        scratch_shapes=[
+            pltpu.SMEM((_ids_pad(s_max),), jnp.int32),
+            pltpu.VMEM((2, CHUNK * cw_blk, CH3_PAD), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA,
+        ],
+    )
+    out_call = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((num_tiles, NCH * 8, 128), jnp.float32),
+            jax.ShapeDtypeStruct((num_tiles, 8, 128), jnp.int32),
+        ],
+        interpret=interpret,
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+            vmem_limit_bytes=100 * 1024 * 1024),
+    )
+    ids_flat = jnp.pad(
+        inputs.ids, ((0, 0), (0, _ids_pad(s_max) - s_max))).reshape(-1)
+    out, ncontrib = out_call(inputs.counts, inputs.cam_info,
+                             inputs.records_t, ids_flat, table)
+    maps = {name: out[:, i * 8:(i + 1) * 8, :]
+            for i, name in enumerate(CH_NAMES)}
+    return maps, ncontrib
+
+
+def _bwd_kernel4(grid: TileGrid, s_max: int, ch_blk, cw_blk, counts_ref,
+                 cam_ref, records_ref, ids_ref, table_ref, fwdout_ref,
+                 ncon_ref, gmaps_ref, drec_ref, dchart_ref, ids_smem, tex_s,
+                 dx_s, dy_s, chart_buf, chart_sem, ids_sem):
+    t = pl.program_id(0)
+    count = counts_ref[t]
+    gx, gy, dirs = _pixel_rows(grid, t, cam_ref)
+    d0, d1, d2 = dirs
+    k_iota = _row_iota((CHUNK, P))
+
+    ids_cp = pltpu.make_async_copy(
+        ids_ref.at[pl.ds(pl.multiple_of(t * _ids_pad(s_max), IDS_TILE),
+                         _ids_pad(s_max))], ids_smem, ids_sem)
+    ids_cp.start()
+
+    drec_ref[0] = jnp.zeros((s_max, F_REC), jnp.float32)
+    dchart_ref[0] = jnp.zeros((s_max * cw_blk, CH3_PAD), jnp.float32)
+
+    def fwd_ch(name):
+        i = CH_NAMES.index(name)
+        return fwdout_ref[0, pl.ds(i * 8, 8), :].reshape(1, P)
+
+    def g_ch(name):
+        i = G_NAMES.index(name)
+        return gmaps_ref[0, pl.ds(i * 8, 8), :].reshape(1, P)
+
+    m0_tot = fwd_ch("alpha")
+    m1_tot = fwd_ch("m1")
+    t_final = fwd_ch("t_final")
+    ncon = ncon_ref[0].reshape(1, P)
+
+    g_img = (g_ch("img0"), g_ch("img1"), g_ch("img2"))
+    g_tex = (g_ch("tex0"), g_ch("tex1"), g_ch("tex2"))
+    g_depth = g_ch("depth")
+    g_alpha = g_ch("alpha")
+    g_norm = (g_ch("n0"), g_ch("n1"), g_ch("n2"))
+    g_reg = g_ch("reg")
+
+    start = jnp.minimum(count, jnp.max(ncon) + 1)
+    n_chunks = (start + CHUNK - 1) // CHUNK
+
+    ids_cp.wait()
+
+    @pl.when(n_chunks > 0)
+    def _():
+        _chunk_dma_start(table_ref, ids_smem, cw_blk, chart_buf, chart_sem,
+                         n_chunks - 1, jax.lax.rem(n_chunks - 1, 2))
+
+    zrow = jnp.zeros((1, P), jnp.float32)
+    carry0 = (n_chunks - 1, t_final, zrow, zrow, zrow)
+
+    def cond(carry):
+        return carry[0] >= 0
+
+    def body(carry):
+        c, t_end, bs_c, e_c, d_c = carry
+        slot = jax.lax.rem(c, 2)
+
+        @pl.when(c - 1 >= 0)
+        def _():
+            _chunk_dma_start(table_ref, ids_smem, cw_blk, chart_buf,
+                             chart_sem, c - 1, jax.lax.rem(c - 1, 2))
+
+        _chunk_dma_wait(table_ref, ids_smem, cw_blk, chart_buf, chart_sem,
+                        c, slot)
+
+        base = pl.multiple_of(c * CHUNK, CHUNK)
+        chunk = records_ref[0, pl.ds(base, CHUNK), :]        # (K, F)
+        valid = (c * CHUNK + k_iota < count).astype(jnp.float32)
+        r = _response2(chunk, valid, dirs, gx, gy)
+        cb = chart_buf[slot]
+
+        a = r["alpha"]
+        m = r["m"]
+        t_hit = r["t"]
+        fl = r["flip"]
+        s_glob = c * CHUNK + k_iota
+        applied = jnp.logical_and(a > 0.0, s_glob < ncon)
+        one_minus = 1.0 - a
+        q = jnp.where(applied, one_minus, 1.0)
+        s_incl = _sufprod_incl(q)
+        t_k = t_end / s_incl                                 # T before splat k
+        w = jnp.where(applied, a * t_k, 0.0)
+        wm = w * m
+
+        e_k = e_c + _sufsum_excl(w)
+        d_k = d_c + _sufsum_excl(wm)
+        big_a = m0_tot - w - e_k
+        big_c = m1_tot - wm - d_k
+        d_m = 2.0 * g_reg * w * (big_a - e_k)
+
+        # --- per-splat texel fetch + chart grads (static python loop) ---
+        h_c = _rep(chunk[:, 26:27])
+        w_c = _rep(chunk[:, 27:28])
+        x_raw_all = r["uv_u"] * h_c
+        y_raw_all = r["uv_v"] * w_c
+        a_io = _row_iota((ch_blk, P)).astype(jnp.float32)
+        b_io = _row_iota((cw_blk, P)).astype(jnp.float32)
+        pad_rows = CH3_PAD - 3 * ch_blk
+        for k in range(CHUNK):
+            h_g = h_c[k:k + 1, :]
+            w_g = w_c[k:k + 1, :]
+            x_raw = x_raw_all[k:k + 1, :]
+            y_raw = y_raw_all[k:k + 1, :]
+            xg = jnp.clip(x_raw, 0.0, h_g - 1.0)
+            yg = jnp.clip(y_raw, 0.0, w_g - 1.0)
+            wx = jnp.maximum(0.0, 1.0 - jnp.abs(xg - a_io))  # (ch, P)
+            wy = jnp.maximum(0.0, 1.0 - jnp.abs(yg - b_io))  # (cw, P)
+            chart_k = cb[k * cw_blk:(k + 1) * cw_blk, :]     # (cw, 128)
+            tmp = _dot_cols(chart_k, wy)                     # (128, P)
+
+            wk = w[k:k + 1, :]
+            wcot = [wk * g_tex[ci] for ci in range(3)]
+            m2 = jnp.concatenate(
+                [wx * wcot[ci] for ci in range(3)]
+                + [jnp.zeros((pad_rows, P), jnp.float32)], axis=0)  # (128,P)
+            d_chart = jax.lax.dot_general(
+                wy, m2, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32)          # (cw, 128)
+            cbase = pl.multiple_of(c * (CHUNK * cw_blk) + k * cw_blk, 8)
+            dchart_ref[0, pl.ds(cbase, cw_blk), :] = d_chart
+
+            coeff = (wcot[0] * tmp[0 * ch_blk:1 * ch_blk, :]
+                     + wcot[1] * tmp[1 * ch_blk:2 * ch_blk, :]
+                     + wcot[2] * tmp[2 * ch_blk:3 * ch_blk, :])
+            dfx = xg - a_io
+            dwx_dx = jnp.where(jnp.abs(dfx) <= 1.0, -jnp.sign(dfx), 0.0)
+            dx_s[k:k + 1, :] = _sum_rows(coeff * dwx_dx)
+
+            d_wy = jax.lax.dot_general(
+                chart_k, m2, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)          # (cw, P)
+            dfy = yg - b_io
+            dwy_dy = jnp.where(jnp.abs(dfy) <= 1.0, -jnp.sign(dfy), 0.0)
+            dy_s[k:k + 1, :] = _sum_rows(d_wy * dwy_dy)
+
+            for ci in range(3):
+                prod = wx * tmp[ci * ch_blk:(ci + 1) * ch_blk, :]
+                tex_s[ci, k:k + 1, :] = _sum_rows(prod)
+
+        tex0, tex1, tex2 = tex_s[0], tex_s[1], tex_s[2]      # (K, P)
+        rgb0 = _rep(chunk[:, 21:22])
+        rgb1 = _rep(chunk[:, 22:23])
+        rgb2 = _rep(chunk[:, 23:24])
+        n0 = _rep(chunk[:, 0:1])
+        n1 = _rep(chunk[:, 1:2])
+        n2 = _rep(chunk[:, 2:3])
+        op_c = _rep(chunk[:, 20:21])
+        a1u_c = _rep(chunk[:, 15:16])
+        a2u_c = _rep(chunk[:, 19:20])
+
+        s_direct = (rgb0 * g_img[0] + rgb1 * g_img[1] + rgb2 * g_img[2]
+                    + tex0 * g_tex[0] + tex1 * g_tex[1] + tex2 * g_tex[2]
+                    + t_hit * g_depth + g_alpha
+                    + fl * (n0 * g_norm[0] + n1 * g_norm[1]
+                            + n2 * g_norm[2]))
+        s_k = s_direct + 2.0 * g_reg * ((m * big_a - big_c)
+                                        + (d_k - m * e_k))
+        sw = s_k * w
+        bs_k = bs_c + _sufsum_excl(sw)
+        d_alpha = jnp.where(applied, t_k * s_k - bs_k / one_minus, 0.0)
+
+        x_pass = jnp.logical_and(x_raw_all >= 0.0,
+                                 x_raw_all <= h_c - 1.0)
+        y_pass = jnp.logical_and(y_raw_all >= 0.0,
+                                 y_raw_all <= w_c - 1.0)
+        d_x = jnp.where(x_pass, dx_s[:], 0.0)
+        d_y = jnp.where(y_pass, dy_s[:], 0.0)
+
+        # chain rule (mirrors the XLA tier's autodiff subgradients)
+        opg = op_c * r["g"]
+        interior = jnp.logical_and(opg <= ALPHA_CLAMP, opg >= ALPHA_CUTOFF)
+        interior = jnp.logical_and(interior, t_hit > 1e-6)
+        dag = jnp.where(interior, d_alpha, 0.0)
+        d_op = r["g"] * dag
+        d_g = op_c * dag
+        surf_sel = r["g_surf"] >= r["g_scr"]
+        dgs_eff = jnp.where(
+            jnp.logical_and(surf_sel, r["r2"] <= EXTENT_SIGMA * EXTENT_SIGMA),
+            r["g_surf"] * d_g, 0.0)
+        d_u = -r["u"] * dgs_eff
+        d_v = -r["v"] * dgs_eff
+        dgc_eff = jnp.where(surf_sel, 0.0, r["g_scr"] * d_g)
+        d_xy0 = (r["dpx"] / AA_SIGMA2) * dgc_eff
+        d_xy1 = (r["dpy"] / AA_SIGMA2) * dgc_eff
+
+        uvu_raw = 0.5 + a1u_c + t_hit * r["b1ud"]
+        uvv_raw = 0.5 + a2u_c + t_hit * r["b2ud"]
+        u_pass = jnp.logical_and(uvu_raw >= 0.0, uvu_raw <= 1.0)
+        v_pass = jnp.logical_and(uvv_raw >= 0.0, uvv_raw <= 1.0)
+        d_uvu = jnp.where(u_pass, d_x * h_c, 0.0)
+        d_uvv = jnp.where(v_pass, d_y * w_c, 0.0)
+
+        kfac = REG_FAR / (REG_FAR - REG_NEAR)
+        tc = jnp.maximum(t_hit, REG_NEAR)
+        d_t = w * g_depth
+        d_t = d_t + jnp.where(t_hit >= REG_NEAR,
+                              d_m * kfac * REG_NEAR / (tc * tc), 0.0)
+        d_t = d_t + d_u * r["b1d"] + d_v * r["b2d"]
+        d_t = d_t + d_uvu * r["b1ud"] + d_uvv * r["b2ud"]
+
+        nd_pass = jnp.abs(r["nd"]) >= 1e-9
+        d_an = d_t / r["safe_nd"]
+        d_nd = jnp.where(nd_pass, -t_hit / r["safe_nd"] * d_t, 0.0)
+
+        wfl = w * fl
+        vals = [
+            d_nd * d0 + wfl * g_norm[0],
+            d_nd * d1 + wfl * g_norm[1],
+            d_nd * d2 + wfl * g_norm[2],
+            d_an,
+            d_u * t_hit * d0,
+            d_u * t_hit * d1,
+            d_u * t_hit * d2,
+            d_u,
+            d_v * t_hit * d0,
+            d_v * t_hit * d1,
+            d_v * t_hit * d2,
+            d_v,
+            d_uvu * t_hit * d0,
+            d_uvu * t_hit * d1,
+            d_uvu * t_hit * d2,
+            d_uvu,
+            d_uvv * t_hit * d0,
+            d_uvv * t_hit * d1,
+            d_uvv * t_hit * d2,
+            d_uvv,
+            d_op,
+            w * g_img[0],
+            w * g_img[1],
+            w * g_img[2],
+            d_xy0,
+            d_xy1,
+        ]
+        f_iota = jax.lax.broadcasted_iota(jnp.int32, (CHUNK, F_REC), 1)
+        grad_chunk = jnp.zeros((CHUNK, F_REC), jnp.float32)
+        for f, v in enumerate(vals):
+            col = jnp.sum(v, axis=1, keepdims=True)          # (K, 1)
+            grad_chunk = grad_chunk + jnp.where(
+                f_iota == f, _rep(col, F_REC), 0.0)
+        drec_ref[0, pl.ds(base, CHUNK), :] = grad_chunk
+
+        t_start = t_end / s_incl[0:1, :]
+        bs_new = bs_c + _sum_rows(sw)
+        e_new = e_c + _sum_rows(w)
+        d_new = d_c + _sum_rows(wm)
+        return (c - 1, t_start, bs_new, e_new, d_new)
+
+    jax.lax.while_loop(cond, body, carry0)
+
+
+def rasterize_pallas4_bwd(grid: TileGrid, chart_pad, counts, cam_info,
+                          records_t, ids, table, fwd_out, ncontrib, gmaps,
+                          interpret: bool = False):
+    num_tiles, s_max, f = records_t.shape
+    ch_blk = -(-chart_pad[0] // 8) * 8
+    cw_blk = -(-chart_pad[1] // 8) * 8
+    kernel = functools.partial(_bwd_kernel4, grid, s_max, ch_blk, cw_blk)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(num_tiles,),
+        in_specs=[
+            pl.BlockSpec((1, s_max, F_REC), lambda t, c, cam: (t, 0, 0)),
+            pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM),
+            pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM),
+            pl.BlockSpec((1, NCH * 8, 128), lambda t, c, cam: (t, 0, 0)),
+            pl.BlockSpec((1, 8, 128), lambda t, c, cam: (t, 0, 0)),
+            pl.BlockSpec((1, NG * 8, 128), lambda t, c, cam: (t, 0, 0)),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, s_max, F_REC), lambda t, c, cam: (t, 0, 0)),
+            pl.BlockSpec((1, s_max * cw_blk, CH3_PAD),
+                         lambda t, c, cam: (t, 0, 0)),
+        ],
+        scratch_shapes=[
+            pltpu.SMEM((_ids_pad(s_max),), jnp.int32),
+            pltpu.VMEM((3, CHUNK, P), jnp.float32),
+            pltpu.VMEM((CHUNK, P), jnp.float32),
+            pltpu.VMEM((CHUNK, P), jnp.float32),
+            pltpu.VMEM((2, CHUNK * cw_blk, CH3_PAD), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA,
+        ],
+    )
+    bwd_call = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct(records_t.shape, jnp.float32),
+            jax.ShapeDtypeStruct((num_tiles, s_max * cw_blk, CH3_PAD),
+                                 jnp.float32),
+        ],
+        interpret=interpret,
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+            vmem_limit_bytes=100 * 1024 * 1024),
+    )
+    ids_flat = jnp.pad(ids, ((0, 0), (0, _ids_pad(s_max) - s_max))
+                       ).reshape(-1)
+    d_records, d_charts = bwd_call(counts, cam_info, records_t, ids_flat,
+                                   table, fwd_out, ncontrib, gmaps)
+    return d_records, d_charts

@@ -21,6 +21,7 @@ from . import rasterize_pallas as rp
 from . import rasterize_pallas_bwd as rpb
 from . import rasterize_pallas2 as rp2
 from . import rasterize_pallas3 as rp3
+from . import rasterize_pallas4 as rp4
 
 
 def _impls(version):
@@ -72,6 +73,48 @@ def _core_bwd(grid, chart_pad, interpret, version, res, g_out):
 _core.defvjp(_core_fwd, _core_bwd)
 
 
+@partial(jax.custom_vjp, nondiff_argnums=(0, 1, 2))
+def _core4(grid: TileGrid, chart_pad, interpret, records_t, ids, table,
+           counts, cam_info):
+    maps, _ = rp4.rasterize_pallas4_fwd(
+        grid, chart_pad, rp4.PallasInputs4(records_t, ids, counts, cam_info),
+        table, interpret=interpret)
+    return _repack(maps)
+
+
+def _core4_fwd(grid, chart_pad, interpret, records_t, ids, table, counts,
+               cam_info):
+    maps, ncontrib = rp4.rasterize_pallas4_fwd(
+        grid, chart_pad, rp4.PallasInputs4(records_t, ids, counts, cam_info),
+        table, interpret=interpret)
+    out = _repack(maps)
+    return out, (records_t, ids, table, counts, cam_info, out, ncontrib)
+
+
+def _core4_bwd(grid, chart_pad, interpret, res, g_out):
+    records_t, ids, table, counts, cam_info, out, ncontrib = res
+    gmaps = g_out[:, : rpb.NG * 8, :]   # cotangents of the 12 real channels
+    d_records, d_charts = rp4.rasterize_pallas4_bwd(
+        grid, chart_pad, counts, cam_info, records_t, ids, table, out,
+        ncontrib, gmaps, interpret=interpret)
+    # pair-space chart grads -> per-gaussian table grads (one segment sum
+    # over the tile id lists; conflict-free within a tile by construction)
+    tt, ss = ids.shape
+    cw_blk = d_charts.shape[1] // ss
+    flat = d_charts.reshape(tt * ss, cw_blk * d_charts.shape[2])
+    d_table = jax.ops.segment_sum(flat, ids.reshape(-1),
+                                  num_segments=table.shape[0] // cw_blk)
+    d_table = d_table.reshape(table.shape)
+    return (d_records,
+            np.zeros(ids.shape, jax.dtypes.float0),
+            d_table,
+            np.zeros(counts.shape, jax.dtypes.float0),
+            jnp.zeros_like(cam_info))
+
+
+_core4.defvjp(_core4_fwd, _core4_bwd)
+
+
 def rasterize_pl(
     geom: SplatGeom,
     texture: jax.Array,
@@ -81,16 +124,28 @@ def rasterize_pl(
     grid: TileGrid,
     px_offset=None,
     interpret: bool = False,
-    version: int = 3,
+    version: int = 4,
 ):
     """Pallas-path render; same outputs as ``rasterize.rasterize``."""
     chart_pad = (texture.shape[1], texture.shape[2])
-    packed = (rp3.pack_charts_cmajor(texture) if version == 3
-              else rp.pack_charts(texture))
-    inputs = rp.prepare_pallas_inputs(geom, packed, texture_hw, bins, cam,
-                                      px_offset)
-    out = _core(grid, chart_pad, interpret, version, inputs.records_t,
-                inputs.charts_g, inputs.counts, inputs.cam_info)
+    if version == 4:
+        packed = rp3.pack_charts_cmajor(texture)
+        table = packed.reshape(-1, packed.shape[-1])    # (N*Cw', 128)
+        origin = cam.c2w[:3, 3]
+        records = rp.assemble_records(geom, origin, texture_hw)
+        rec_pairs = records[bins.ids]
+        counts = jnp.minimum(bins.counts, bins.ids.shape[1])
+        if px_offset is None:
+            px_offset = jnp.zeros((2,), jnp.float32)
+        out = _core4(grid, chart_pad, interpret, rec_pairs, bins.ids,
+                     table, counts, rp._cam_info(cam, px_offset))
+    else:
+        packed = (rp3.pack_charts_cmajor(texture) if version == 3
+                  else rp.pack_charts(texture))
+        inputs = rp.prepare_pallas_inputs(geom, packed, texture_hw, bins,
+                                          cam, px_offset)
+        out = _core(grid, chart_pad, interpret, version, inputs.records_t,
+                    inputs.charts_g, inputs.counts, inputs.cam_info)
 
     def ch(name):
         i = rp.CH_NAMES.index(name)

@@ -82,7 +82,7 @@ def add_common_args(p):
     p.add_argument("--num-devices", type=int, default=0,
                    help=">1: shard tile rows across a device mesh")
     p.add_argument("--renderer", default=None,
-                   choices=["xla", "pallas", "pallas1", "pallas2",
+                   choices=["xla", "pallas", "pallas1", "pallas2", "pallas3",
                             "pallas_interpret"],
                    help="renderer tier override (default: method config)")
 

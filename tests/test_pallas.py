@@ -40,7 +40,7 @@ def prep_and_bins(scene, cam, s_max=64):
 import pytest
 
 
-@pytest.mark.parametrize("version", [1, 2, 3])
+@pytest.mark.parametrize("version", [1, 2, 3, 4])
 def test_pallas_forward_matches_xla(version):
     scene, cam = setup()
     prep, bins = prep_and_bins(scene, cam)
@@ -63,7 +63,7 @@ def _loss(render_fn, scene, cam, cot, s_max=64):
     return sum(jnp.sum(out[k] * cot[k]) for k in cot)
 
 
-@pytest.mark.parametrize("version", [1, 2, 3])
+@pytest.mark.parametrize("version", [1, 2, 3, 4])
 def test_pallas_gradients_match_xla(version):
     scene, cam = setup(n=48, seed=3)
     ks = jax.random.split(jax.random.key(9), 6)
