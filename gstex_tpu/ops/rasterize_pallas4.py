@@ -79,6 +79,12 @@ def _chunk_dma_wait(table_ref, ids_smem, cw_blk, chart_buf, chart_sem, c,
 IDS_TILE = 1024  # int32 1-D HBM tiling: DMA slices must be 1024-aligned
 
 
+def _cg_lanes(ch_blk):
+    """Per-splat chart-grad lane block: 3*ch_blk channel lanes rounded up to
+    a 32-lane boundary, so 128//cg splats pack into one (cw, 128) block."""
+    return -(-3 * ch_blk // 32) * 32
+
+
 def _ids_pad(s_max):
     return -(-s_max // IDS_TILE) * IDS_TILE
 
@@ -167,8 +173,9 @@ def _fwd_kernel4(grid: TileGrid, s_max: int, ch_blk, cw_blk, counts_ref,
                               h_c[k:k + 1, :], ch_blk)
             wy = _bil_weights(r["uv_v"][k:k + 1, :] * w_c[k:k + 1, :],
                               w_c[k:k + 1, :], cw_blk)
-            chart_k = cb[k * cw_blk:(k + 1) * cw_blk, :]     # (cw, 128)
-            tmp = _dot_cols(chart_k, wy)                     # (128, P)
+            cg = _cg_lanes(ch_blk)
+            chart_k = cb[k * cw_blk:(k + 1) * cw_blk, 0:cg]  # (cw, cg)
+            tmp = _dot_cols(chart_k, wy)                     # (cg, P)
             for ci in range(3):
                 prod = wx * tmp[ci * ch_blk:(ci + 1) * ch_blk, :]
                 tex[ci] = tex[ci] + wk * _sum_rows(prod)
@@ -263,8 +270,11 @@ def _bwd_kernel4(grid: TileGrid, s_max: int, ch_blk, cw_blk, counts_ref,
                          _ids_pad(s_max))], ids_smem, ids_sem)
     ids_cp.start()
 
+    cg = _cg_lanes(ch_blk)
+    pack_n = CH3_PAD // cg
     drec_ref[0] = jnp.zeros((s_max, F_REC), jnp.float32)
-    dchart_ref[0] = jnp.zeros((s_max * cw_blk, CH3_PAD), jnp.float32)
+    dchart_ref[0] = jnp.zeros((s_max // pack_n * cw_blk, CH3_PAD),
+                              jnp.float32)
 
     def fwd_ch(name):
         i = CH_NAMES.index(name)
@@ -346,7 +356,8 @@ def _bwd_kernel4(grid: TileGrid, s_max: int, ch_blk, cw_blk, counts_ref,
         y_raw_all = r["uv_v"] * w_c
         a_io = _row_iota((ch_blk, P)).astype(jnp.float32)
         b_io = _row_iota((cw_blk, P)).astype(jnp.float32)
-        pad_rows = CH3_PAD - 3 * ch_blk
+        pad_rows = cg - 3 * ch_blk
+        d_chart_grp = []
         for k in range(CHUNK):
             h_g = h_c[k:k + 1, :]
             w_g = w_c[k:k + 1, :]
@@ -356,19 +367,24 @@ def _bwd_kernel4(grid: TileGrid, s_max: int, ch_blk, cw_blk, counts_ref,
             yg = jnp.clip(y_raw, 0.0, w_g - 1.0)
             wx = jnp.maximum(0.0, 1.0 - jnp.abs(xg - a_io))  # (ch, P)
             wy = jnp.maximum(0.0, 1.0 - jnp.abs(yg - b_io))  # (cw, P)
-            chart_k = cb[k * cw_blk:(k + 1) * cw_blk, :]     # (cw, 128)
-            tmp = _dot_cols(chart_k, wy)                     # (128, P)
+            chart_k = cb[k * cw_blk:(k + 1) * cw_blk, 0:cg]  # (cw, cg)
+            tmp = _dot_cols(chart_k, wy)                     # (cg, P)
 
             wk = w[k:k + 1, :]
             wcot = [wk * g_tex[ci] for ci in range(3)]
             m2 = jnp.concatenate(
                 [wx * wcot[ci] for ci in range(3)]
-                + [jnp.zeros((pad_rows, P), jnp.float32)], axis=0)  # (128,P)
-            d_chart = jax.lax.dot_general(
+                + [jnp.zeros((pad_rows, P), jnp.float32)], axis=0)  # (cg, P)
+            d_chart_grp.append(jax.lax.dot_general(
                 wy, m2, (((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32)          # (cw, 128)
-            cbase = pl.multiple_of(c * (CHUNK * cw_blk) + k * cw_blk, 8)
-            dchart_ref[0, pl.ds(cbase, cw_blk), :] = d_chart
+                preferred_element_type=jnp.float32))         # (cw, cg)
+            if len(d_chart_grp) == pack_n:
+                g_idx = k // pack_n
+                blk = jnp.concatenate(d_chart_grp, axis=1)   # (cw, 128)
+                cbase = pl.multiple_of(
+                    (c * CHUNK // pack_n + g_idx) * cw_blk, 8)
+                dchart_ref[0, pl.ds(cbase, cw_blk), :] = blk
+                d_chart_grp = []
 
             coeff = (wcot[0] * tmp[0 * ch_blk:1 * ch_blk, :]
                      + wcot[1] * tmp[1 * ch_blk:2 * ch_blk, :]
@@ -380,6 +396,7 @@ def _bwd_kernel4(grid: TileGrid, s_max: int, ch_blk, cw_blk, counts_ref,
             d_wy = jax.lax.dot_general(
                 chart_k, m2, (((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32)          # (cw, P)
+
             dfy = yg - b_io
             dwy_dy = jnp.where(jnp.abs(dfy) <= 1.0, -jnp.sign(dfy), 0.0)
             dy_s[k:k + 1, :] = _sum_rows(d_wy * dwy_dy)
@@ -505,6 +522,8 @@ def rasterize_pallas4_bwd(grid: TileGrid, chart_pad, counts, cam_info,
     num_tiles, s_max, f = records_t.shape
     ch_blk = -(-chart_pad[0] // 8) * 8
     cw_blk = -(-chart_pad[1] // 8) * 8
+    pack_n = CH3_PAD // _cg_lanes(ch_blk)
+    assert s_max % pack_n == 0
     kernel = functools.partial(_bwd_kernel4, grid, s_max, ch_blk, cw_blk)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
@@ -519,7 +538,7 @@ def rasterize_pallas4_bwd(grid: TileGrid, chart_pad, counts, cam_info,
         ],
         out_specs=[
             pl.BlockSpec((1, s_max, F_REC), lambda t, c, cam: (t, 0, 0)),
-            pl.BlockSpec((1, s_max * cw_blk, CH3_PAD),
+            pl.BlockSpec((1, s_max // pack_n * cw_blk, CH3_PAD),
                          lambda t, c, cam: (t, 0, 0)),
         ],
         scratch_shapes=[
@@ -537,8 +556,9 @@ def rasterize_pallas4_bwd(grid: TileGrid, chart_pad, counts, cam_info,
         grid_spec=grid_spec,
         out_shape=[
             jax.ShapeDtypeStruct(records_t.shape, jnp.float32),
-            jax.ShapeDtypeStruct((num_tiles, s_max * cw_blk, CH3_PAD),
-                                 jnp.float32),
+            jax.ShapeDtypeStruct(
+                (num_tiles, s_max // pack_n * cw_blk, CH3_PAD),
+                jnp.float32),
         ],
         interpret=interpret,
         compiler_params=pltpu.CompilerParams(

@@ -98,12 +98,20 @@ def _core4_bwd(grid, chart_pad, interpret, res, g_out):
         grid, chart_pad, counts, cam_info, records_t, ids, table, out,
         ncontrib, gmaps, interpret=interpret)
     # pair-space chart grads -> per-gaussian table grads (one segment sum
-    # over the tile id lists; conflict-free within a tile by construction)
+    # over the tile id lists; conflict-free within a tile by construction).
+    # d_charts packs pack_n consecutive splats per 128-lane block: lane
+    # l = i*cg + j holds splat i's channel-lane j.
     tt, ss = ids.shape
-    cw_blk = d_charts.shape[1] // ss
-    flat = d_charts.reshape(tt * ss, cw_blk * d_charts.shape[2])
-    d_table = jax.ops.segment_sum(flat, ids.reshape(-1),
-                                  num_segments=table.shape[0] // cw_blk)
+    ch_blk = -(-chart_pad[0] // 8) * 8
+    cg = rp4._cg_lanes(ch_blk)
+    pack_n = d_charts.shape[2] // cg
+    cw_blk = d_charts.shape[1] // (ss // pack_n)
+    d = d_charts.reshape(tt, ss // pack_n, cw_blk, pack_n, cg)
+    d = d.transpose(0, 1, 3, 2, 4).reshape(tt * ss, cw_blk * cg)
+    d_g = jax.ops.segment_sum(d, ids.reshape(-1),
+                              num_segments=table.shape[0] // cw_blk)
+    d_g = d_g.reshape(-1, cw_blk, cg)
+    d_table = jnp.pad(d_g, ((0, 0), (0, 0), (0, table.shape[1] - cg)))
     d_table = d_table.reshape(table.shape)
     return (d_records,
             np.zeros(ids.shape, jax.dtypes.float0),

@@ -134,8 +134,8 @@ def b4(counts, cam_info, records_t, ids, table, fwd_out, ncon, gmaps):
 dd = np.abs(np.asarray(dr3) - np.asarray(dr4))
 sc = np.abs(np.asarray(dr3)).max() + 1e-8
 print(f"bwd drec parity: max|d|/scale={dd.max() / sc:.2e}")
-ddc = np.abs(np.asarray(dc3) - np.asarray(dc4))
-print(f"bwd dchart parity: max|d|={ddc.max():.2e}")
+# dchart layouts differ (v4 packs pack_n splats per block); api tests
+# cover end-to-end texel-grad parity.
 print(f"\nus/splat-tile: v3 fwd {1000 * t3 / pairs:.3f} "
       f"v4 fwd {1000 * t4 / pairs:.3f} | v3 bwd {1000 * tb3 / pairs:.3f} "
       f"v4 bwd {1000 * tb4 / pairs:.3f}")
