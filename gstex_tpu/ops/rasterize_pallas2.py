@@ -51,9 +51,9 @@ def _rep(v, n=P):
 
 
 def _pixel_rows(grid: TileGrid, t, cam_ref):
-    """Pixel coords + world ray dirs for tile t as (1, P) rows."""
+    """Pixel coords + world ray dirs for tile t as (1, tile_h*tile_w) rows."""
     th, tw = grid.tile_h, grid.tile_w
-    p = jax.lax.broadcasted_iota(jnp.int32, (1, P), 1)
+    p = jax.lax.broadcasted_iota(jnp.int32, (1, th * tw), 1)
     ly = (p // tw).astype(jnp.float32)
     lx = (p % tw).astype(jnp.float32)
     ty = (t // grid.ntx).astype(jnp.float32)
@@ -69,9 +69,11 @@ def _pixel_rows(grid: TileGrid, t, cam_ref):
 
 
 def _response2(chunk, valid, dirs, gx, gy):
-    """Chunk response as (CHUNK, P) arrays (splats on sublanes)."""
+    """Chunk response as (CHUNK, pixels) arrays (splats on sublanes)."""
+    pixels = gx.shape[-1]
+
     def col(f):
-        return _rep(chunk[:, f:f + 1])                  # (K, P)
+        return _rep(chunk[:, f:f + 1], pixels)          # (K, pix)
 
     d0, d1, d2 = dirs                                   # (1, P)
     nd = col(0) * d0 + col(1) * d1 + col(2) * d2

@@ -138,9 +138,9 @@ def _dot_cols(cols, rhs):
 
 
 def _bil_weights(coord_row, size_row, cap):
-    """(cap, P) separable bilinear weights for one splat's (1,P) coords."""
+    """(cap, pix) separable bilinear weights for one splat's (1,pix) coords."""
     x = jnp.clip(coord_row, 0.0, size_row - 1.0)
-    a = _row_iota((cap, P)).astype(jnp.float32)
+    a = _row_iota((cap, coord_row.shape[-1])).astype(jnp.float32)
     return jnp.maximum(0.0, 1.0 - jnp.abs(x - a))
 
 

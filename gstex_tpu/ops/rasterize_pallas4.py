@@ -38,7 +38,7 @@ from .binning import TileGrid
 from .surfel import (AA_SIGMA2, ALPHA_CLAMP, ALPHA_CUTOFF, EXTENT_SIGMA,
                      REG_FAR, REG_NEAR, T_EPS)
 from .rasterize_pallas import CH3_PAD, CH_NAMES, F_REC, NCH
-from .rasterize_pallas2 import G_NAMES, NG, P, _pixel_rows, _rep, _response2
+from .rasterize_pallas2 import G_NAMES, NG, _pixel_rows, _rep, _response2
 from .rasterize_pallas3 import (_bil_weights, _cumprod_incl, _cumsum_excl,
                                 _dot_cols, _row_iota, _sufprod_incl,
                                 _sufsum_excl, _sum_rows)
@@ -93,10 +93,12 @@ def _fwd_kernel4(grid: TileGrid, s_max: int, ch_blk, cw_blk, counts_ref,
                  cam_ref, records_ref, ids_ref, table_ref, out_ref,
                  ncontrib_ref, ids_smem, chart_buf, chart_sem, ids_sem):
     t = pl.program_id(0)
+    pix = grid.tile_h * grid.tile_w
+    pr = pix // 128
     count = counts_ref[t]
     n_chunks = (count + CHUNK - 1) // CHUNK
     gx, gy, dirs = _pixel_rows(grid, t, cam_ref)
-    k_iota = _row_iota((CHUNK, P))
+    k_iota = _row_iota((CHUNK, pix))
 
     ids_cp = pltpu.make_async_copy(
         ids_ref.at[pl.ds(pl.multiple_of(t * _ids_pad(s_max), IDS_TILE),
@@ -109,11 +111,11 @@ def _fwd_kernel4(grid: TileGrid, s_max: int, ch_blk, cw_blk, counts_ref,
         _chunk_dma_start(table_ref, ids_smem, cw_blk, chart_buf, chart_sem,
                          jnp.int32(0), jnp.int32(0))
 
-    zrow = jnp.zeros((1, P), jnp.float32)
+    zrow = jnp.zeros((1, pix), jnp.float32)
     acc0 = {name: zrow for name in CH_NAMES if name != "t_final"}
-    acc0["t_final"] = jnp.ones((1, P), jnp.float32)  # frozen T
-    carry0 = (jnp.int32(0), jnp.full((1, P), s_max, jnp.int32),
-              jnp.ones((1, P), jnp.float32), acc0)
+    acc0["t_final"] = jnp.ones((1, pix), jnp.float32)  # frozen T
+    carry0 = (jnp.int32(0), jnp.full((1, pix), s_max, jnp.int32),
+              jnp.ones((1, pix), jnp.float32), acc0)
 
     def cond(carry):
         c, ncon, t_plain, acc = carry
@@ -164,9 +166,9 @@ def _fwd_kernel4(grid: TileGrid, s_max: int, ch_blk, cw_blk, counts_ref,
         img_d = _dot_cols(chunk[:, 21:24], w)                # (3, P)
         nrm_d = _dot_cols(chunk[:, 0:3], w * r["flip"])      # (3, P)
 
-        h_c = _rep(chunk[:, 26:27])
-        w_c = _rep(chunk[:, 27:28])
-        tex = [jnp.zeros((1, P), jnp.float32) for _ in range(3)]
+        h_c = _rep(chunk[:, 26:27], pix)
+        w_c = _rep(chunk[:, 27:28], pix)
+        tex = [jnp.zeros((1, pix), jnp.float32) for _ in range(3)]
         for k in range(CHUNK):
             wk = w[k:k + 1, :]
             wx = _bil_weights(r["uv_u"][k:k + 1, :] * h_c[k:k + 1, :],
@@ -205,8 +207,8 @@ def _fwd_kernel4(grid: TileGrid, s_max: int, ch_blk, cw_blk, counts_ref,
                         c_final, jax.lax.rem(c_final, 2))
 
     for i, name in enumerate(CH_NAMES):
-        out_ref[0, pl.ds(i * 8, 8), :] = acc[name].reshape(8, 128)
-    ncontrib_ref[0] = ncontrib.reshape(8, 128)
+        out_ref[0, pl.ds(i * pr, pr), :] = acc[name].reshape(pr, 128)
+    ncontrib_ref[0] = ncontrib.reshape(pr, 128)
 
 
 def rasterize_pallas4_fwd(grid: TileGrid, chart_pad, inputs: PallasInputs4,
@@ -214,6 +216,7 @@ def rasterize_pallas4_fwd(grid: TileGrid, chart_pad, inputs: PallasInputs4,
     num_tiles, s_max, f = inputs.records_t.shape
     ch_blk = -(-chart_pad[0] // 8) * 8
     cw_blk = -(-chart_pad[1] // 8) * 8
+    pr = grid.tile_h * grid.tile_w // 128
     kernel = functools.partial(_fwd_kernel4, grid, s_max, ch_blk, cw_blk)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
@@ -224,8 +227,8 @@ def rasterize_pallas4_fwd(grid: TileGrid, chart_pad, inputs: PallasInputs4,
             pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM),
         ],
         out_specs=[
-            pl.BlockSpec((1, NCH * 8, 128), lambda t, c, cam: (t, 0, 0)),
-            pl.BlockSpec((1, 8, 128), lambda t, c, cam: (t, 0, 0)),
+            pl.BlockSpec((1, NCH * pr, 128), lambda t, c, cam: (t, 0, 0)),
+            pl.BlockSpec((1, pr, 128), lambda t, c, cam: (t, 0, 0)),
         ],
         scratch_shapes=[
             pltpu.SMEM((_ids_pad(s_max),), jnp.int32),
@@ -238,8 +241,8 @@ def rasterize_pallas4_fwd(grid: TileGrid, chart_pad, inputs: PallasInputs4,
         kernel,
         grid_spec=grid_spec,
         out_shape=[
-            jax.ShapeDtypeStruct((num_tiles, NCH * 8, 128), jnp.float32),
-            jax.ShapeDtypeStruct((num_tiles, 8, 128), jnp.int32),
+            jax.ShapeDtypeStruct((num_tiles, NCH * pr, 128), jnp.float32),
+            jax.ShapeDtypeStruct((num_tiles, pr, 128), jnp.int32),
         ],
         interpret=interpret,
         compiler_params=pltpu.CompilerParams(
@@ -250,7 +253,7 @@ def rasterize_pallas4_fwd(grid: TileGrid, chart_pad, inputs: PallasInputs4,
         inputs.ids, ((0, 0), (0, _ids_pad(s_max) - s_max))).reshape(-1)
     out, ncontrib = out_call(inputs.counts, inputs.cam_info,
                              inputs.records_t, ids_flat, table)
-    maps = {name: out[:, i * 8:(i + 1) * 8, :]
+    maps = {name: out[:, i * pr:(i + 1) * pr, :]
             for i, name in enumerate(CH_NAMES)}
     return maps, ncontrib
 
@@ -260,10 +263,12 @@ def _bwd_kernel4(grid: TileGrid, s_max: int, ch_blk, cw_blk, counts_ref,
                  ncon_ref, gmaps_ref, drec_ref, dchart_ref, ids_smem, tex_s,
                  dx_s, dy_s, chart_buf, chart_sem, ids_sem):
     t = pl.program_id(0)
+    pix = grid.tile_h * grid.tile_w
+    pr = pix // 128
     count = counts_ref[t]
     gx, gy, dirs = _pixel_rows(grid, t, cam_ref)
     d0, d1, d2 = dirs
-    k_iota = _row_iota((CHUNK, P))
+    k_iota = _row_iota((CHUNK, pix))
 
     ids_cp = pltpu.make_async_copy(
         ids_ref.at[pl.ds(pl.multiple_of(t * _ids_pad(s_max), IDS_TILE),
@@ -278,16 +283,16 @@ def _bwd_kernel4(grid: TileGrid, s_max: int, ch_blk, cw_blk, counts_ref,
 
     def fwd_ch(name):
         i = CH_NAMES.index(name)
-        return fwdout_ref[0, pl.ds(i * 8, 8), :].reshape(1, P)
+        return fwdout_ref[0, pl.ds(i * pr, pr), :].reshape(1, pix)
 
     def g_ch(name):
         i = G_NAMES.index(name)
-        return gmaps_ref[0, pl.ds(i * 8, 8), :].reshape(1, P)
+        return gmaps_ref[0, pl.ds(i * pr, pr), :].reshape(1, pix)
 
     m0_tot = fwd_ch("alpha")
     m1_tot = fwd_ch("m1")
     t_final = fwd_ch("t_final")
-    ncon = ncon_ref[0].reshape(1, P)
+    ncon = ncon_ref[0].reshape(1, pix)
 
     g_img = (g_ch("img0"), g_ch("img1"), g_ch("img2"))
     g_tex = (g_ch("tex0"), g_ch("tex1"), g_ch("tex2"))
@@ -306,7 +311,7 @@ def _bwd_kernel4(grid: TileGrid, s_max: int, ch_blk, cw_blk, counts_ref,
         _chunk_dma_start(table_ref, ids_smem, cw_blk, chart_buf, chart_sem,
                          n_chunks - 1, jax.lax.rem(n_chunks - 1, 2))
 
-    zrow = jnp.zeros((1, P), jnp.float32)
+    zrow = jnp.zeros((1, pix), jnp.float32)
     carry0 = (n_chunks - 1, t_final, zrow, zrow, zrow)
 
     def cond(carry):
@@ -350,12 +355,12 @@ def _bwd_kernel4(grid: TileGrid, s_max: int, ch_blk, cw_blk, counts_ref,
         d_m = 2.0 * g_reg * w * (big_a - e_k)
 
         # --- per-splat texel fetch + chart grads (static python loop) ---
-        h_c = _rep(chunk[:, 26:27])
-        w_c = _rep(chunk[:, 27:28])
+        h_c = _rep(chunk[:, 26:27], pix)
+        w_c = _rep(chunk[:, 27:28], pix)
         x_raw_all = r["uv_u"] * h_c
         y_raw_all = r["uv_v"] * w_c
-        a_io = _row_iota((ch_blk, P)).astype(jnp.float32)
-        b_io = _row_iota((cw_blk, P)).astype(jnp.float32)
+        a_io = _row_iota((ch_blk, pix)).astype(jnp.float32)
+        b_io = _row_iota((cw_blk, pix)).astype(jnp.float32)
         pad_rows = cg - 3 * ch_blk
         d_chart_grp = []
         for k in range(CHUNK):
@@ -374,7 +379,7 @@ def _bwd_kernel4(grid: TileGrid, s_max: int, ch_blk, cw_blk, counts_ref,
             wcot = [wk * g_tex[ci] for ci in range(3)]
             m2 = jnp.concatenate(
                 [wx * wcot[ci] for ci in range(3)]
-                + [jnp.zeros((pad_rows, P), jnp.float32)], axis=0)  # (cg, P)
+                + [jnp.zeros((pad_rows, pix), jnp.float32)], axis=0)
             d_chart_grp.append(jax.lax.dot_general(
                 wy, m2, (((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32))         # (cw, cg)
@@ -406,15 +411,15 @@ def _bwd_kernel4(grid: TileGrid, s_max: int, ch_blk, cw_blk, counts_ref,
                 tex_s[ci, k:k + 1, :] = _sum_rows(prod)
 
         tex0, tex1, tex2 = tex_s[0], tex_s[1], tex_s[2]      # (K, P)
-        rgb0 = _rep(chunk[:, 21:22])
-        rgb1 = _rep(chunk[:, 22:23])
-        rgb2 = _rep(chunk[:, 23:24])
-        n0 = _rep(chunk[:, 0:1])
-        n1 = _rep(chunk[:, 1:2])
-        n2 = _rep(chunk[:, 2:3])
-        op_c = _rep(chunk[:, 20:21])
-        a1u_c = _rep(chunk[:, 15:16])
-        a2u_c = _rep(chunk[:, 19:20])
+        rgb0 = _rep(chunk[:, 21:22], pix)
+        rgb1 = _rep(chunk[:, 22:23], pix)
+        rgb2 = _rep(chunk[:, 23:24], pix)
+        n0 = _rep(chunk[:, 0:1], pix)
+        n1 = _rep(chunk[:, 1:2], pix)
+        n2 = _rep(chunk[:, 2:3], pix)
+        op_c = _rep(chunk[:, 20:21], pix)
+        a1u_c = _rep(chunk[:, 15:16], pix)
+        a2u_c = _rep(chunk[:, 19:20], pix)
 
         s_direct = (rgb0 * g_img[0] + rgb1 * g_img[1] + rgb2 * g_img[2]
                     + tex0 * g_tex[0] + tex1 * g_tex[1] + tex2 * g_tex[2]
@@ -524,6 +529,8 @@ def rasterize_pallas4_bwd(grid: TileGrid, chart_pad, counts, cam_info,
     cw_blk = -(-chart_pad[1] // 8) * 8
     pack_n = CH3_PAD // _cg_lanes(ch_blk)
     assert s_max % pack_n == 0
+    pix = grid.tile_h * grid.tile_w
+    pr = pix // 128
     kernel = functools.partial(_bwd_kernel4, grid, s_max, ch_blk, cw_blk)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
@@ -532,9 +539,9 @@ def rasterize_pallas4_bwd(grid: TileGrid, chart_pad, counts, cam_info,
             pl.BlockSpec((1, s_max, F_REC), lambda t, c, cam: (t, 0, 0)),
             pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM),
             pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM),
-            pl.BlockSpec((1, NCH * 8, 128), lambda t, c, cam: (t, 0, 0)),
-            pl.BlockSpec((1, 8, 128), lambda t, c, cam: (t, 0, 0)),
-            pl.BlockSpec((1, NG * 8, 128), lambda t, c, cam: (t, 0, 0)),
+            pl.BlockSpec((1, NCH * pr, 128), lambda t, c, cam: (t, 0, 0)),
+            pl.BlockSpec((1, pr, 128), lambda t, c, cam: (t, 0, 0)),
+            pl.BlockSpec((1, NG * pr, 128), lambda t, c, cam: (t, 0, 0)),
         ],
         out_specs=[
             pl.BlockSpec((1, s_max, F_REC), lambda t, c, cam: (t, 0, 0)),
@@ -543,9 +550,9 @@ def rasterize_pallas4_bwd(grid: TileGrid, chart_pad, counts, cam_info,
         ],
         scratch_shapes=[
             pltpu.SMEM((_ids_pad(s_max),), jnp.int32),
-            pltpu.VMEM((3, CHUNK, P), jnp.float32),
-            pltpu.VMEM((CHUNK, P), jnp.float32),
-            pltpu.VMEM((CHUNK, P), jnp.float32),
+            pltpu.VMEM((3, CHUNK, pix), jnp.float32),
+            pltpu.VMEM((CHUNK, pix), jnp.float32),
+            pltpu.VMEM((CHUNK, pix), jnp.float32),
             pltpu.VMEM((2, CHUNK * cw_blk, CH3_PAD), jnp.float32),
             pltpu.SemaphoreType.DMA((2,)),
             pltpu.SemaphoreType.DMA,

@@ -93,7 +93,8 @@ def _core4_fwd(grid, chart_pad, interpret, records_t, ids, table, counts,
 
 def _core4_bwd(grid, chart_pad, interpret, res, g_out):
     records_t, ids, table, counts, cam_info, out, ncontrib = res
-    gmaps = g_out[:, : rpb.NG * 8, :]   # cotangents of the 12 real channels
+    pr = grid.tile_h * grid.tile_w // 128
+    gmaps = g_out[:, : rpb.NG * pr, :]  # cotangents of the 12 real channels
     d_records, d_charts = rp4.rasterize_pallas4_bwd(
         grid, chart_pad, counts, cam_info, records_t, ids, table, out,
         ncontrib, gmaps, interpret=interpret)
@@ -136,6 +137,10 @@ def rasterize_pl(
 ):
     """Pallas-path render; same outputs as ``rasterize.rasterize``."""
     chart_pad = (texture.shape[1], texture.shape[2])
+    pr = grid.tile_h * grid.tile_w // 128 if version == 4 else 8
+    if version != 4 and (grid.tile_h, grid.tile_w) != (32, 32):
+        raise ValueError("pallas v1-v3 kernels require 32x32 tiles; "
+                         "use version=4 for other tile sizes")
     if version == 4:
         packed = rp3.pack_charts_cmajor(texture)
         table = packed.reshape(-1, packed.shape[-1])    # (N*Cw', 128)
@@ -157,7 +162,7 @@ def rasterize_pl(
 
     def ch(name):
         i = rp.CH_NAMES.index(name)
-        return rp.untile_packed(out[:, i * 8:(i + 1) * 8, :], grid)
+        return rp.untile_packed(out[:, i * pr:(i + 1) * pr, :], grid)
 
     return {
         "img": jnp.stack([ch("img0"), ch("img1"), ch("img2")], axis=-1),

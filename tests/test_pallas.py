@@ -18,6 +18,7 @@ from gstex_tpu.ops.rasterize_pallas_api import rasterize_pl
 
 H, W = 64, 96
 GRID = TileGrid(height=H, width=W, tile_h=32, tile_w=32)
+GRID16 = TileGrid(height=H, width=W, tile_h=16, tile_w=16)
 PAD = (4, 4)
 
 
@@ -27,13 +28,13 @@ def setup(n=64, seed=0):
     return scene, cam
 
 
-def prep_and_bins(scene, cam, s_max=64):
+def prep_and_bins(scene, cam, s_max=64, grid=GRID):
     prep = prepare_splats(
         scene["means"], scene["log_scales"], scene["quats"],
         scene["opacity_logits"], scene["features_dc"], scene["features_rest"],
         scene["mappings"], cam, active_sh_degree=3)
     bins = build_tile_bins(prep.centers, prep.extents, prep.depths, prep.valid,
-                           GRID, pair_cap=8192, s_max=s_max)
+                           grid, pair_cap=8192, s_max=s_max)
     return prep, bins
 
 
@@ -92,3 +93,47 @@ def test_pallas_gradients_match_xla(version):
                                    err_msg=f"grad {k}")
         if k not in ("features_dc",):
             assert np.abs(b).max() > 0, f"xla grad {k} all zero"
+
+
+def test_pallas_v4_tile16_matches_xla():
+    scene, cam = setup()
+    prep, bins = prep_and_bins(scene, cam, grid=GRID16)
+    out_pl = rasterize_pl(prep.geom, scene["texture"], scene["texture_hw"],
+                          bins, cam, GRID16, interpret=True, version=4)
+    out_xla = rasterize(prep.geom, scene["texture"], scene["texture_hw"],
+                        bins, cam, GRID16)
+    for k in ["img", "texture_rgb", "depth", "alpha", "normal", "reg"]:
+        np.testing.assert_allclose(np.asarray(out_pl[k]),
+                                   np.asarray(out_xla[k]),
+                                   atol=2e-5, rtol=1e-4, err_msg=k)
+
+
+def test_pallas_v4_tile16_gradients_match_xla():
+    scene, cam = setup(n=48, seed=3)
+    ks = jax.random.split(jax.random.key(9), 6)
+    cot = {
+        "img": jax.random.normal(ks[0], (H, W, 3)),
+        "texture_rgb": jax.random.normal(ks[1], (H, W, 3)),
+        "depth": 0.1 * jax.random.normal(ks[2], (H, W)),
+        "alpha": jax.random.normal(ks[3], (H, W)),
+    }
+    diff_keys = ["means", "log_scales", "quats", "opacity_logits", "texture"]
+    rest = {k: scene[k] for k in scene if k not in diff_keys}
+    diff = {k: scene[k] for k in diff_keys}
+
+    def loss16(render_fn, d):
+        sc = {**d, **rest}
+        prep, bins = prep_and_bins(sc, cam, grid=GRID16)
+        out = render_fn(prep.geom, sc["texture"], sc["texture_hw"], bins,
+                        cam, GRID16)
+        return sum(jnp.sum(out[k] * cot[k]) for k in cot)
+
+    pl_fn = lambda g, t, hw, b, c, gr: rasterize_pl(
+        g, t, hw, b, c, gr, interpret=True, version=4)
+    g_pl = jax.grad(lambda d: loss16(pl_fn, d))(diff)
+    g_xla = jax.grad(lambda d: loss16(rasterize, d))(diff)
+    for k in diff_keys:
+        a, b = np.asarray(g_pl[k]), np.asarray(g_xla[k])
+        scale = np.abs(b).max() + 1e-8
+        np.testing.assert_allclose(a / scale, b / scale, atol=3e-4,
+                                   err_msg=f"grad {k}")
