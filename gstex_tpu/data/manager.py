@@ -46,6 +46,20 @@ class FullImageCache:
             fx, fy = float(parsed.fx[i]), float(parsed.fy[i])
             cx, cy = float(parsed.cx[i]), float(parsed.cy[i])
             h, w = img.shape[:2]
+            if cam_type == "fisheye624":
+                # 16-param rad/tan/thin-prism rectification (reference
+                # full_images_datamanager.py:421-517)
+                from .fisheye624 import undistort_fisheye624
+
+                params = np.concatenate(
+                    [[fx, fy, cx, cy], np.asarray(dist[i], np.float64)])
+                crop = float(getattr(parsed, "fisheye_crop_radius", 0.0)
+                             or min(h, w) / 2.0)
+                img, fmask, fx, fy, cx, cy = undistort_fisheye624(
+                    img, params, crop)
+                cam = make_camera(fx, fy, cx, cy, img.shape[0],
+                                  img.shape[1], parsed.c2ws[i])
+                return cam, np.ascontiguousarray(img), fmask
             if dist is not None and np.abs(dist[i]).sum() > 0:
                 import cv2
 
@@ -70,7 +84,7 @@ class FullImageCache:
                 cx, cy = float(newK[0, 2]), float(newK[1, 2])
             cam = make_camera(fx, fy, cx, cy, img.shape[0], img.shape[1],
                               parsed.c2ws[i])
-            return cam, np.ascontiguousarray(img)
+            return cam, np.ascontiguousarray(img), None
 
         n = len(parsed.image_filenames)
         with concurrent.futures.ThreadPoolExecutor(max_workers) as ex:
@@ -78,6 +92,8 @@ class FullImageCache:
         cams = [r[0] for r in results]
         imgs = [r[1] for r in results]
         masks = None
+        if any(r[2] is not None for r in results):
+            masks = [r[2] for r in results]
         if mask_files is not None:
             from PIL import Image
 

@@ -58,8 +58,15 @@ def parse_nerfstudio(
         cy.append(_frame_val(meta, frame, "cy"))
         hh.append(_frame_val(meta, frame, "h"))
         ww.append(_frame_val(meta, frame, "w"))
-        dist.append([_frame_val(meta, frame, k) or 0.0
-                     for k in ("k1", "k2", "k3", "k4", "p1", "p2")])
+        if "FISHEYE624" in str(meta.get("camera_model", "")).upper():
+            # 12 rad/tan/thin-prism coefficients (reference cameras.py:51,
+            # camera_utils.py:641 param order k0..k5 p0 p1 s0..s3)
+            dist.append([_frame_val(meta, frame, k) or 0.0
+                         for k in ("k1", "k2", "k3", "k4", "k5", "k6",
+                                   "p1", "p2", "s1", "s2", "s3", "s4")])
+        else:
+            dist.append([_frame_val(meta, frame, k) or 0.0
+                         for k in ("k1", "k2", "k3", "k4", "p1", "p2")])
     poses = np.stack(poses)
 
     if "applied_transform" in meta:
@@ -103,7 +110,16 @@ def parse_nerfstudio(
     # (nerfstudio transforms.json convention; full_images_datamanager.py
     # branches undistortion on CameraType at 366-517)
     model = str(meta.get("camera_model", "OPENCV")).upper()
-    out.camera_type = "fisheye" if "FISHEYE" in model else "perspective"  # type: ignore
+    if "FISHEYE624" in model:
+        out.camera_type = "fisheye624"  # type: ignore
+        out.fisheye_crop_radius = float(  # type: ignore
+            meta.get("fisheye_crop_radius", 0.0))
+    elif "FISHEYE" in model:
+        out.camera_type = "fisheye"  # type: ignore
+    elif "EQUIRECTANGULAR" in model:
+        out.camera_type = "equirectangular"  # type: ignore
+    else:
+        out.camera_type = "perspective"  # type: ignore
     if any("mask_path" in fr for fr in frames):
         out.mask_filenames = [
             (data_dir / frames[i]["mask_path"]) if "mask_path" in frames[i]

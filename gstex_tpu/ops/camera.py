@@ -116,6 +116,44 @@ def pixel_ray_dirs(px_x: jax.Array, px_y: jax.Array, cam: Camera) -> jax.Array:
     return d_cam @ R.T
 
 
+def ray_dirs_typed(px_x: jax.Array, px_y: jax.Array, cam: Camera,
+                   camera_type: str = "perspective") -> jax.Array:
+    """World-space ray directions for non-pinhole camera types.
+
+    Implements the reference ``Cameras.generate_rays`` direction math
+    (``nerfstudio/cameras/cameras.py:805-816`` equirectangular spherical
+    coords; fisheye equidistant branch) in the OpenCV camera frame this
+    module uses (+z forward, +y down; the gsplat diag(1,-1,-1) flip lives
+    inside ``camera_rotation_gsplat``). Perspective rays keep unit view-z
+    (ray parameter == view depth); fisheye/equirect rays are unit-norm.
+    """
+    if camera_type == "perspective":
+        return pixel_ray_dirs(px_x, px_y, cam)
+    x = (px_x + 0.5 - cam.cx) / cam.fx
+    y = (px_y + 0.5 - cam.cy) / cam.fy
+    if camera_type == "fisheye":
+        # equidistant: angle from axis = normalized radius
+        theta = jnp.minimum(jnp.sqrt(x * x + y * y), jnp.pi)
+        sinc = jnp.where(theta < 1e-9, 1.0, jnp.sin(theta)
+                         / jnp.maximum(theta, 1e-9))
+        d_cam = jnp.stack([x * sinc, y * sinc, jnp.cos(theta)], axis=-1)
+    elif camera_type == "equirectangular":
+        # reference: for equirect fx = fy = height = width/2; x in [-1,1],
+        # y in [-1/2,1/2]; theta = -pi*x, phi = pi*(0.5 - y_gl). Their dirs
+        # are OpenGL (+y up, -z fwd); converted here to OpenCV.
+        theta = -jnp.pi * x
+        phi = jnp.pi * (0.5 + y)
+        d_cam = jnp.stack([
+            -jnp.sin(theta) * jnp.sin(phi),
+            -jnp.cos(phi),
+            jnp.cos(theta) * jnp.sin(phi),
+        ], axis=-1)
+    else:
+        raise ValueError(f"unsupported camera_type {camera_type}")
+    R = camera_rotation_gsplat(cam.c2w)
+    return d_cam @ R.T
+
+
 def surfel_aabb_2d(
     means: jax.Array,
     l0: jax.Array,
