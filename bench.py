@@ -31,7 +31,7 @@ def main():
 
     def build(renderer):
         cfg = model.GStexConfig(chart_pad=(8, 8), tile_h=32, tile_w=32,
-                                pair_cap=1 << 20, s_max=512, pixel_num=1e6,
+                                pair_cap=1 << 19, s_max=512, pixel_num=1e6,
                                 background_color="black", renderer=renderer)
 
         @jax.jit
