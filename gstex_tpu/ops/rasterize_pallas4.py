@@ -45,6 +45,10 @@ from .rasterize_pallas3 import (_bil_weights, _cumprod_incl, _cumsum_excl,
 
 CHUNK = 16
 
+import os as _os
+
+_DEBUG_SKIP = _os.environ.get("GSTEX_PALLAS_SKIP", "")  # dev perf probes
+
 
 class PallasInputs4(NamedTuple):
     records_t: jax.Array   # (T, S, F)
@@ -363,7 +367,8 @@ def _bwd_kernel4(grid: TileGrid, s_max: int, ch_blk, cw_blk, counts_ref,
         b_io = _row_iota((cw_blk, pix)).astype(jnp.float32)
         pad_rows = cg - 3 * ch_blk
         d_chart_grp = []
-        for k in range(CHUNK):
+        ks_fetch = [] if "fetch" in _DEBUG_SKIP else list(range(CHUNK))
+        for k in ks_fetch:
             h_g = h_c[k:k + 1, :]
             w_g = w_c[k:k + 1, :]
             x_raw = x_raw_all[k:k + 1, :]
@@ -410,6 +415,10 @@ def _bwd_kernel4(grid: TileGrid, s_max: int, ch_blk, cw_blk, counts_ref,
                 prod = wx * tmp[ci * ch_blk:(ci + 1) * ch_blk, :]
                 tex_s[ci, k:k + 1, :] = _sum_rows(prod)
 
+        if "fetch" in _DEBUG_SKIP:
+            zkp = jnp.zeros((CHUNK, pix), jnp.float32)
+            tex_s[0], tex_s[1], tex_s[2] = zkp, zkp, zkp
+            dx_s[:], dy_s[:] = zkp, zkp
         tex0, tex1, tex2 = tex_s[0], tex_s[1], tex_s[2]      # (K, P)
         rgb0 = _rep(chunk[:, 21:22], pix)
         rgb1 = _rep(chunk[:, 22:23], pix)
@@ -504,12 +513,19 @@ def _bwd_kernel4(grid: TileGrid, s_max: int, ch_blk, cw_blk, counts_ref,
             d_xy0,
             d_xy1,
         ]
+        def lane_sum(v):
+            # fold 128-lane tiles first (vreg adds), then one short reduce
+            u = v[:, 0:128]
+            for i in range(1, pix // 128):
+                u = u + v[:, i * 128:(i + 1) * 128]
+            return jnp.sum(u, axis=1, keepdims=True)         # (K, 1)
+
         f_iota = jax.lax.broadcasted_iota(jnp.int32, (CHUNK, F_REC), 1)
         grad_chunk = jnp.zeros((CHUNK, F_REC), jnp.float32)
-        for f, v in enumerate(vals):
-            col = jnp.sum(v, axis=1, keepdims=True)          # (K, 1)
-            grad_chunk = grad_chunk + jnp.where(
-                f_iota == f, _rep(col, F_REC), 0.0)
+        if "reduce" not in _DEBUG_SKIP:
+            for f, v in enumerate(vals):
+                grad_chunk = grad_chunk + jnp.where(
+                    f_iota == f, _rep(lane_sum(v), F_REC), 0.0)
         drec_ref[0, pl.ds(base, CHUNK), :] = grad_chunk
 
         t_start = t_end / s_incl[0:1, :]
