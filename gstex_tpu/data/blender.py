@@ -29,6 +29,25 @@ class ParsedDataset:
     points_xyz: np.ndarray | None = None   # (P,3) seed points
     points_rgb: np.ndarray | None = None   # (P,3) 0-255
     mask_filenames: list | None = None     # per-frame binary masks
+    # pose normalization applied by the parser (reference
+    # base_dataparser.py:68-71); identity unless the parser reorients/rescales
+    dataparser_transform: np.ndarray | None = None  # (3,4)
+    dataparser_scale: float = 1.0
+
+    def save_dataparser_transform(self, path):
+        """Persist the applied transform+scale for reproducible coordinate
+        frames (reference ``base_dataparser.py:77-91``, saved by the trainer
+        at ``engine/trainer.py:214-216``)."""
+        import json as _json
+        from pathlib import Path as _Path
+
+        tf = (self.dataparser_transform if self.dataparser_transform
+              is not None else np.eye(4)[:3])
+        path = _Path(path)
+        path.parent.mkdir(parents=True, exist_ok=True)
+        path.write_text(_json.dumps(
+            {"transform": np.asarray(tf).tolist(),
+             "scale": float(self.dataparser_scale)}, indent=4))
 
 
 def _image_size(path: Path) -> tuple[int, int]:

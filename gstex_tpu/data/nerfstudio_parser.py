@@ -32,7 +32,23 @@ def parse_nerfstudio(
     train_split_fraction: float = 0.9,
     eval_interval: int = 8,
     load_3d_points: bool = True,
+    orientation_method: str = "none",  # pca | up | vertical | none
+    center_method: str = "none",       # poses | focus | none
+    auto_scale_poses: bool = False,
+    scale_factor: float = 1.0,
 ) -> ParsedDataset:
+    """Parse a nerfstudio ``transforms.json`` dataset.
+
+    Pose-normalization defaults match the gstex method configs
+    (``gstex_configs.py:119-127``: everything off); the full reference
+    option surface (``nerfstudio_dataparser.py:50-73,236-254``) is exposed:
+    ``orientation_method``/``center_method`` run
+    ``auto_orient_and_center_poses``, ``auto_scale_poses`` normalizes the
+    max camera-origin norm to 1, ``scale_factor`` scales on top, and the
+    resulting transform/scale are recorded on the output
+    (``dataparser_transform``/``dataparser_scale``) and applied to seed
+    points, exactly as ``_load_3D_points`` does.
+    """
     data_dir = Path(data_dir)
     meta_path = data_dir / "transforms.json"
     if not meta_path.exists():
@@ -75,6 +91,23 @@ def parse_nerfstudio(
             at = np.concatenate([at, [[0, 0, 0, 1]]], 0)
         poses = np.einsum("ij,njk->nik", at, poses)
 
+    # pose normalization (nerfstudio_dataparser.py:236-254); datasets may
+    # override the orientation method via meta
+    from .pose_utils import auto_orient_and_center_poses, split_by_filename
+
+    orient = meta.get("orientation_override", orientation_method)
+    poses34, transform34 = auto_orient_and_center_poses(
+        poses, method=orient, center_method=center_method)
+    pose_scale = 1.0
+    if auto_scale_poses:
+        pose_scale /= float(np.max(np.abs(poses34[:, :3, 3])))
+    pose_scale *= scale_factor
+    poses34 = poses34.copy()
+    poses34[:, :3, 3] *= pose_scale
+    poses = np.concatenate(
+        [poses34, np.broadcast_to(np.array([[[0., 0., 0., 1.]]]),
+                                  (poses34.shape[0], 1, 4))], axis=1)
+
     m = len(filenames)
     # train/eval split (nerfstudio_dataparser.py eval_mode handling)
     idx = np.arange(m)
@@ -83,6 +116,10 @@ def parse_nerfstudio(
     elif eval_mode == "interval":
         is_eval = idx % eval_interval == 0
         sel = idx[~is_eval] if split == "train" else idx[is_eval]
+    elif eval_mode == "filename":
+        i_train, i_eval = split_by_filename(
+            [Path(f).name for f in filenames])
+        sel = i_train if split == "train" else i_eval
     elif eval_mode == "fraction":
         n_train = int(np.ceil(m * train_split_fraction))
         train_idx = np.linspace(0, m - 1, n_train).round().astype(int)
@@ -105,6 +142,8 @@ def parse_nerfstudio(
         heights=(np.array([hh[i] for i in sel], np.int64) * scale).astype(np.int64),
         widths=(np.array([ww[i] for i in sel], np.int64) * scale).astype(np.int64),
     )
+    out.dataparser_transform = transform34.astype(np.float32)
+    out.dataparser_scale = float(pose_scale)
     out.distortion = np.array([dist[i] for i in sel], np.float32)  # type: ignore
     # camera_model: OPENCV (perspective) | OPENCV_FISHEYE (equidistant)
     # (nerfstudio transforms.json convention; full_images_datamanager.py
@@ -144,7 +183,10 @@ def parse_nerfstudio(
         if pts is not None:
             if "applied_transform" in meta:
                 at = np.array(meta["applied_transform"], np.float64)[:3]
-                pts = (pts @ at[:, :3].T + at[:, 3]).astype(np.float32)
-            out.points_xyz = pts
+                pts = pts @ at[:, :3].T + at[:, 3]
+            # same normalization as the poses (_load_3D_points,
+            # nerfstudio_dataparser.py:392-411)
+            pts = (pts @ transform34[:, :3].T + transform34[:, 3]) * pose_scale
+            out.points_xyz = pts.astype(np.float32)
             out.points_rgb = rgb
     return out

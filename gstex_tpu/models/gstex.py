@@ -70,6 +70,9 @@ class GStexConfig:
     pair_cap: int = 1 << 20
     s_max: int = 512
     renderer: str = "xla"                 # xla | pallas | pallas_interpret
+    # conservative per-pair alpha cull at binning time (ops/cull.py):
+    # output-identical (drops only pairs the kernel's 1/255 cutoff zeroes)
+    pair_cull: bool = True
 
     def grid(self, height: int, width: int) -> TileGrid:
         return TileGrid(height=height, width=width,
@@ -264,8 +267,14 @@ def render(
         sh_degree=cfg.sh_degree, fix_init=cfg.fix_init,
         extent_sigma=cfg.sigma_factor)
     grid = cfg.grid(cam.height, cam.width)
+    cull_fn = None
+    if cfg.pair_cull:
+        from ..ops.cull import make_pair_cull
+
+        cull_fn = make_pair_cull(jax.lax.stop_gradient(prep.geom), cam, grid)
     bins = build_tile_bins(prep.centers, prep.extents, prep.depths, prep.valid,
-                           grid, pair_cap=cfg.pair_cap, s_max=cfg.s_max)
+                           grid, pair_cap=cfg.pair_cap, s_max=cfg.s_max,
+                           cull_fn=cull_fn)
     # texture albedo: SH2RGB(texture_dc) when sh_degree>0, else sigmoid
     # (gstex.py:1117-1121)
     if cfg.sh_degree > 0:

@@ -108,6 +108,7 @@ def build_tile_bins(
     pair_cap: int,
     s_max: int,
     method: str = "auto",
+    cull_fn=None,
 ) -> TileBins:
     """Expand (gaussian, tile) pairs, depth-order per tile, densify.
 
@@ -119,6 +120,10 @@ def build_tile_bins(
         s_max: static per-tile list capacity.
         method: "coverage" | "sort" | "auto" (coverage unless the N×T
             indicator table would exceed the memory budget).
+        cull_fn: optional per-pair cull ``(gid, tx, ty) -> keep`` applied
+            before the sort (see ``ops.cull.make_pair_cull``); dropped pairs
+            vanish from the dense lists and tile counts (output-identical
+            when the cull is conservative w.r.t. the kernel alpha cutoff).
     """
     n = centers.shape[0]
     if method == "auto":
@@ -127,6 +132,9 @@ def build_tile_bins(
         # costs more than it saves) — the sort path also has no N·T table
         method = "sort"
     if method == "coverage":
+        if cull_fn is not None:
+            raise ValueError("cull_fn requires method='sort' (coverage "
+                             "ranks assume un-culled pair sets)")
         return _build_tile_bins_coverage(centers, extents, depths, valid,
                                          grid, pair_cap, s_max)
     tx0, ty0, tw, counts = tile_ranges(centers, extents, grid, valid)
@@ -143,6 +151,8 @@ def build_tile_bins(
     tx = tx0[gid] + local % w_g
     tile = ty * grid.ntx + tx
     pair_valid = k < total
+    if cull_fn is not None:
+        pair_valid = jnp.logical_and(pair_valid, cull_fn(gid, tx, ty))
     tile = jnp.where(pair_valid, tile, grid.num_tiles)  # sentinel sorts last
 
     # lexicographic sort by (tile, depth, id) — stable front-to-back order

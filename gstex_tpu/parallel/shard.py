@@ -59,8 +59,15 @@ def _render_band(cfg, params, buffers, cam, step, axis_name, bgrid, band_h):
         extent_sigma=cfg.sigma_factor)
     centers = prep.centers - jnp.stack(
         [jnp.zeros_like(y0), y0])[None, :]
+    cull_fn = None
+    if cfg.pair_cull:
+        from ..ops.cull import make_pair_cull
+
+        cull_fn = make_pair_cull(jax.lax.stop_gradient(prep.geom), cam,
+                                 bgrid, px_offset=(jnp.float32(0.0), y0))
     bins = build_tile_bins(centers, prep.extents, prep.depths, prep.valid,
-                           bgrid, pair_cap=cfg.pair_cap, s_max=cfg.s_max)
+                           bgrid, pair_cap=cfg.pair_cap, s_max=cfg.s_max,
+                           cull_fn=cull_fn)
     if cfg.sh_degree > 0:
         texture = sh_ops.sh_to_rgb(params.texture)
     else:
