@@ -141,6 +141,9 @@ def rasterize_pl(
     if version != 4 and (grid.tile_h, grid.tile_w) != (32, 32):
         raise ValueError("pallas v1-v3 kernels require 32x32 tiles; "
                          "use version=4 for other tile sizes")
+    if version == 4 and (grid.tile_h * grid.tile_w) % 128 != 0:
+        raise ValueError("pallas v4 needs tile_h*tile_w to be a multiple of "
+                         "128 (pixels are packed onto 128 lanes)")
     if version == 4:
         packed = rp3.pack_charts_cmajor(texture)
         table = packed.reshape(-1, packed.shape[-1])    # (N*Cw', 128)

@@ -231,16 +231,22 @@ class Trainer:
         bg = self._eval_background()
         rows = []
         t_render = 0.0
+        # warm up the jit cache outside the timing (the reference times
+        # per-image render with warm CUDA kernels, base_pipeline.py:374-378);
+        # np.asarray forces a real device sync (block_until_ready is
+        # unreliable on the tunneled axon backend)
+        cam0, _, _ = self.eval_cache.get(0)
+        np.asarray(self._eval(self.state, cam0, bg)["rgb"])
         for i in range(len(self.eval_cache)):
             cam, img, _ = self.eval_cache.get(i)
             t0 = time.perf_counter()
             out = self._eval(self.state, cam, bg)
-            jax.block_until_ready(out["rgb"])
+            rgb_np = np.asarray(out["rgb"])
             t_render += time.perf_counter() - t0
             gt = model.composite_gt(self._device_image(img), bg)
             rows.append(metrics_io.image_metrics(out["rgb"], gt))
             if save_images:
-                self.writer.image(i, "eval_all_rgb", np.asarray(out["rgb"]))
+                self.writer.image(i, "eval_all_rgb", rgb_np)
         agg = {k: float(np.mean([r[k] for r in rows])) for k in rows[0]}
         agg.update({f"{k}_std": float(np.std([r[k] for r in rows]))
                     for k in rows[0]})
