@@ -255,10 +255,13 @@ def render(
     step,
     background: jax.Array,
     extra: bool = False,
+    eval_only: bool = False,
 ):
     """Full forward render (``GStexModel.get_outputs``, ``gstex.py:992-1236``).
 
     Returns the composited rgb plus raw maps. ``background`` is (3,).
+    ``eval_only`` (pallas renderers only) uses the forward-only kernel:
+    rgb/depth/alpha maps without loss channels or backward residuals.
     """
     prep = prepare_splats(
         params.means, params.log_scales, params.quats, params.opacity_logits,
@@ -281,7 +284,13 @@ def render(
         texture = sh_ops.sh_to_rgb(params.texture)
     else:
         texture = jax.nn.sigmoid(params.texture)
-    if cfg.renderer.startswith("pallas") and not extra:
+    if cfg.renderer.startswith("pallas") and not extra and eval_only:
+        from ..ops.rasterize_pallas_api import rasterize_pl_eval
+
+        maps = rasterize_pl_eval(prep.geom, texture, buffers.texture_hw,
+                                 bins, cam, grid,
+                                 interpret="interpret" in cfg.renderer)
+    elif cfg.renderer.startswith("pallas") and not extra:
         from ..ops.rasterize_pallas_api import rasterize_pl
 
         if cfg.renderer.startswith("pallas1"):

@@ -68,21 +68,44 @@ def _pixel_rows(grid: TileGrid, t, cam_ref):
     return gx, gy, (d0, d1, d2)
 
 
-def _response2(chunk, valid, dirs, gx, gy):
-    """Chunk response as (CHUNK, pixels) arrays (splats on sublanes)."""
+def _response2(chunk, valid, dirs, gx, gy, mxu: bool = False):
+    """Chunk response as (CHUNK, pixels) arrays (splats on sublanes).
+
+    With ``mxu=True`` the five per-splat direction dots (n·d, b1·d, b2·d,
+    b1u·d, b2u·d — each affine in the ray dir with per-splat coefficients)
+    run as ONE stacked (5K,3)@(3,P) matmul instead of 5 broadcast-FMA
+    chains on the VPU."""
     pixels = gx.shape[-1]
+    k = chunk.shape[0]
 
     def col(f):
         return _rep(chunk[:, f:f + 1], pixels)          # (K, pix)
 
     d0, d1, d2 = dirs                                   # (1, P)
-    nd = col(0) * d0 + col(1) * d1 + col(2) * d2
+    if mxu:
+        dmat = jnp.concatenate([d0, d1, d2], axis=0)     # (3, P)
+
+        def ddot(base):
+            return jax.lax.dot_general(
+                chunk[:, base:base + 3], dmat, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST)     # (K, P)
+
+        nd = ddot(0)
+        b1d = ddot(4)
+        b2d = ddot(8)
+        b1ud = ddot(12)
+        b2ud = ddot(16)
+    else:
+        nd = col(0) * d0 + col(1) * d1 + col(2) * d2
+        b1d = col(4) * d0 + col(5) * d1 + col(6) * d2
+        b2d = col(8) * d0 + col(9) * d1 + col(10) * d2
+        b1ud = col(12) * d0 + col(13) * d1 + col(14) * d2
+        b2ud = col(16) * d0 + col(17) * d1 + col(18) * d2
     safe_nd = jnp.where(jnp.abs(nd) < 1e-9,
                         jnp.where(nd < 0, -1e-9, 1e-9), nd)
     t_hit = col(3) / safe_nd
 
-    b1d = col(4) * d0 + col(5) * d1 + col(6) * d2
-    b2d = col(8) * d0 + col(9) * d1 + col(10) * d2
     u = col(7) + t_hit * b1d
     v = col(11) + t_hit * b2d
     r2 = u * u + v * v
@@ -99,8 +122,6 @@ def _response2(chunk, valid, dirs, gx, gy):
     alpha = jnp.where(t_hit > 1e-6, alpha, 0.0)
     alpha = alpha * valid
 
-    b1ud = col(12) * d0 + col(13) * d1 + col(14) * d2
-    b2ud = col(16) * d0 + col(17) * d1 + col(18) * d2
     uv_u = jnp.clip(0.5 + col(15) + t_hit * b1ud, 0.0, 1.0)
     uv_v = jnp.clip(0.5 + col(19) + t_hit * b2ud, 0.0, 1.0)
 

@@ -49,6 +49,56 @@ import os as _os
 
 _DEBUG_SKIP = _os.environ.get("GSTEX_PALLAS_SKIP", "")  # dev perf probes
 
+# MXU offload bitmask for the chunk body (v5 experiments): the v5e VPU is
+# ~1.9 TFLOP/s f32 while the MXU is ~25x that, so K-axis reductions/scans
+# and the per-splat affine direction dots are cheaper as small matmuls.
+# bit 0: prefix/suffix sums as triangular-matrix dots
+# bit 1: row sums (K->1 accumulator reductions) as block-ones dots
+# bit 2: response affine dots (n.d, b.d) as one stacked coefficient matmul
+#
+# Measured on a v5e chip (800p dense synthetic, ~256k pairs):
+#   MXU=0: fwd 82.1 ms  bwd 103.9 ms
+#   MXU=4: fwd 60.9 ms  bwd  83.5 ms   (response dots on the MXU)
+#   MXU=7: fwd 58.8 ms  bwd  81.0 ms   (+ scans/reductions as tri/ones dots)
+# Record-gradient diff vs the pure-VPU path is 7.4e-5; output diff is
+# rounding-level (rgb max 2.1e-3 on 99/1.9M pixels, alpha max 1.4e-4 —
+# grazing-incidence t_hit rounding through the HIGHEST-precision matmul),
+# so all bits default on.
+MXU_LEVEL = int(_os.environ.get("GSTEX_PALLAS_MXU", "7"))
+
+def _iota2(shape):
+    return (jax.lax.broadcasted_iota(jnp.int32, shape, 0),
+            jax.lax.broadcasted_iota(jnp.int32, shape, 1))
+
+
+def _tri_excl_lower(k, blocks=1):
+    """Block-diag strictly-lower-triangular ones: L @ x = exclusive cumsum.
+    Built from iotas (pallas kernels cannot capture host constants)."""
+    r, c = _iota2((k * blocks, k * blocks))
+    same = (r // k) == (c // k)
+    return jnp.where(jnp.logical_and(same, (c % k) < (r % k)), 1.0, 0.0)
+
+
+def _tri_excl_upper(k, blocks=1):
+    """Block-diag strictly-upper-triangular ones: U @ x = exclusive sufsum."""
+    r, c = _iota2((k * blocks, k * blocks))
+    same = (r // k) == (c // k)
+    return jnp.where(jnp.logical_and(same, (c % k) > (r % k)), 1.0, 0.0)
+
+
+def _block_ones(k, blocks):
+    """(blocks, blocks*k) selector: row b sums rows b*k..b*k+k-1."""
+    r, c = _iota2((blocks, k * blocks))
+    return jnp.where(r == c // k, 1.0, 0.0)
+
+
+def _mx(mat, rhs):
+    """(m, K) @ (K, P) on the MXU in f32."""
+    return jax.lax.dot_general(
+        mat, rhs, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST)
+
 
 class PallasInputs4(NamedTuple):
     records_t: jax.Array   # (T, S, F)
@@ -68,6 +118,8 @@ def _splat_dma(table_ref, ids_smem, cw_blk, chart_buf, chart_sem, c, k,
 
 def _chunk_dma_start(table_ref, ids_smem, cw_blk, chart_buf, chart_sem, c,
                      slot):
+    if "dma" in _DEBUG_SKIP:
+        return
     for k in range(CHUNK):
         _splat_dma(table_ref, ids_smem, cw_blk, chart_buf, chart_sem, c, k,
                    slot).start()
@@ -75,6 +127,8 @@ def _chunk_dma_start(table_ref, ids_smem, cw_blk, chart_buf, chart_sem, c,
 
 def _chunk_dma_wait(table_ref, ids_smem, cw_blk, chart_buf, chart_sem, c,
                     slot):
+    if "dma" in _DEBUG_SKIP:
+        return
     for k in range(CHUNK):
         _splat_dma(table_ref, ids_smem, cw_blk, chart_buf, chart_sem, c, k,
                    slot).wait()
@@ -140,7 +194,8 @@ def _fwd_kernel4(grid: TileGrid, s_max: int, ch_blk, cw_blk, counts_ref,
         base = pl.multiple_of(c * CHUNK, CHUNK)
         chunk = records_ref[0, pl.ds(base, CHUNK), :]        # (K, F)
         valid = (c * CHUNK + k_iota < count).astype(jnp.float32)
-        r = _response2(chunk, valid, dirs, gx, gy)
+        r = _response2(chunk, valid, dirs, gx, gy,
+                       mxu=bool(MXU_LEVEL & 4))
         cb = chart_buf[slot]                                 # (K*cw, 128)
 
         a = r["alpha"]                                       # (K, P)
@@ -162,10 +217,27 @@ def _fwd_kernel4(grid: TileGrid, s_max: int, ch_blk, cw_blk, counts_ref,
                     keepdims=True))
 
         m = r["m"]
-        pw = _cumsum_excl(w)
-        pwm = _cumsum_excl(w * m)
-        reg_add = _sum_rows(2.0 * w * (m * (acc["alpha"] + pw)
-                                       - (acc["m1"] + pwm)))
+        wm = w * m
+        if MXU_LEVEL & 1:
+            pwpwm = _mx(_tri_excl_lower(CHUNK, 2),
+                        jnp.concatenate([w, wm], axis=0))
+            pw, pwm = pwpwm[:CHUNK], pwpwm[CHUNK:]
+        else:
+            pw = _cumsum_excl(w)
+            pwm = _cumsum_excl(wm)
+        reg_term = 2.0 * w * (m * (acc["alpha"] + pw)
+                              - (acc["m1"] + pwm))
+        if MXU_LEVEL & 2:
+            sums = _mx(_block_ones(CHUNK, 4),
+                       jnp.concatenate([reg_term, w * r["t"], w, wm],
+                                       axis=0))
+            reg_add, depth_add = sums[0:1], sums[1:2]
+            alpha_add, m1_add = sums[2:3], sums[3:4]
+        else:
+            reg_add = _sum_rows(reg_term)
+            depth_add = _sum_rows(w * r["t"])
+            alpha_add = _sum_rows(w)
+            m1_add = _sum_rows(wm)
 
         img_d = _dot_cols(chunk[:, 21:24], w)                # (3, P)
         nrm_d = _dot_cols(chunk[:, 0:3], w * r["flip"])      # (3, P)
@@ -173,7 +245,8 @@ def _fwd_kernel4(grid: TileGrid, s_max: int, ch_blk, cw_blk, counts_ref,
         h_c = _rep(chunk[:, 26:27], pix)
         w_c = _rep(chunk[:, 27:28], pix)
         tex = [jnp.zeros((1, pix), jnp.float32) for _ in range(3)]
-        for k in range(CHUNK):
+        ks_fetch = [] if "fetch" in _DEBUG_SKIP else list(range(CHUNK))
+        for k in ks_fetch:
             wk = w[k:k + 1, :]
             wx = _bil_weights(r["uv_u"][k:k + 1, :] * h_c[k:k + 1, :],
                               h_c[k:k + 1, :], ch_blk)
@@ -193,13 +266,13 @@ def _fwd_kernel4(grid: TileGrid, s_max: int, ch_blk, cw_blk, counts_ref,
         new_acc["tex0"] = acc["tex0"] + tex[0]
         new_acc["tex1"] = acc["tex1"] + tex[1]
         new_acc["tex2"] = acc["tex2"] + tex[2]
-        new_acc["depth"] = acc["depth"] + _sum_rows(w * r["t"])
+        new_acc["depth"] = acc["depth"] + depth_add
         new_acc["n0"] = acc["n0"] + nrm_d[0:1, :]
         new_acc["n1"] = acc["n1"] + nrm_d[1:2, :]
         new_acc["n2"] = acc["n2"] + nrm_d[2:3, :]
         new_acc["reg"] = acc["reg"] + reg_add
-        new_acc["alpha"] = acc["alpha"] + _sum_rows(w)
-        new_acc["m1"] = acc["m1"] + _sum_rows(w * m)
+        new_acc["alpha"] = acc["alpha"] + alpha_add
+        new_acc["m1"] = acc["m1"] + m1_add
         new_acc["t_final"] = t_froz
         return (c + 1, ncon, incl[CHUNK - 1:CHUNK, :], new_acc)
 
@@ -260,6 +333,172 @@ def rasterize_pallas4_fwd(grid: TileGrid, chart_pad, inputs: PallasInputs4,
     maps = {name: out[:, i * pr:(i + 1) * pr, :]
             for i, name in enumerate(CH_NAMES)}
     return maps, ncontrib
+
+
+# ---------------------------------------------------------------------------
+# forward-only eval kernel: rgb compositing channels only
+# ---------------------------------------------------------------------------
+
+# The training forward must emit every loss map plus the backward's replay
+# state (ncontrib, frozen T, m1). Inference needs none of that: the eval /
+# viewer / video-render paths composite ``img + tex + (1-alpha)*bg`` and
+# optionally show depth. This kernel drops the distortion prefix scans, the
+# normal accumulation, and the per-pixel break bookkeeping (early exit tests
+# the carried transmittance row directly), and writes an 8-channel block —
+# the reference has no analogous fast path (its fused kernel always computes
+# all maps); this exists for the fps eval metric (`base_pipeline.py:374-378`
+# timing semantics) and interactive viewing.
+ECH_NAMES = ["img0", "img1", "img2", "tex0", "tex1", "tex2", "depth",
+             "alpha"]
+NECH = len(ECH_NAMES)
+
+
+def _eval_kernel4(grid: TileGrid, s_max: int, ch_blk, cw_blk, counts_ref,
+                  cam_ref, records_ref, ids_ref, table_ref, out_ref,
+                  ids_smem, chart_buf, chart_sem, ids_sem):
+    t = pl.program_id(0)
+    pix = grid.tile_h * grid.tile_w
+    pr = pix // 128
+    count = counts_ref[t]
+    n_chunks = (count + CHUNK - 1) // CHUNK
+    gx, gy, dirs = _pixel_rows(grid, t, cam_ref)
+    k_iota = _row_iota((CHUNK, pix))
+
+    ids_cp = pltpu.make_async_copy(
+        ids_ref.at[pl.ds(pl.multiple_of(t * _ids_pad(s_max), IDS_TILE),
+                         _ids_pad(s_max))], ids_smem, ids_sem)
+    ids_cp.start()
+    ids_cp.wait()
+
+    @pl.when(n_chunks > 0)
+    def _():
+        _chunk_dma_start(table_ref, ids_smem, cw_blk, chart_buf, chart_sem,
+                         jnp.int32(0), jnp.int32(0))
+
+    zrow = jnp.zeros((1, pix), jnp.float32)
+    acc0 = {name: zrow for name in ECH_NAMES}
+    carry0 = (jnp.int32(0), jnp.ones((1, pix), jnp.float32), acc0)
+
+    def cond(carry):
+        c, t_plain, acc = carry
+        return jnp.logical_and(c < n_chunks, jnp.max(t_plain) > T_EPS)
+
+    def body(carry):
+        c, t_plain, acc = carry
+        slot = jax.lax.rem(c, 2)
+
+        @pl.when(c + 1 < n_chunks)
+        def _():
+            _chunk_dma_start(table_ref, ids_smem, cw_blk, chart_buf,
+                             chart_sem, c + 1, jax.lax.rem(c + 1, 2))
+
+        _chunk_dma_wait(table_ref, ids_smem, cw_blk, chart_buf, chart_sem,
+                        c, slot)
+
+        base = pl.multiple_of(c * CHUNK, CHUNK)
+        chunk = records_ref[0, pl.ds(base, CHUNK), :]        # (K, F)
+        valid = (c * CHUNK + k_iota < count).astype(jnp.float32)
+        r = _response2(chunk, valid, dirs, gx, gy,
+                       mxu=bool(MXU_LEVEL & 4))
+        cb = chart_buf[slot]                                 # (K*cw, 128)
+
+        a = r["alpha"]                                       # (K, P)
+        incl = _cumprod_incl(1.0 - a) * t_plain
+        excl = jnp.where(k_iota == 0, t_plain, pltpu.roll(incl, 1, axis=0))
+        applied = jnp.logical_and(a > 0.0, incl > T_EPS)
+        w = jnp.where(applied, a * excl, 0.0)
+
+        if MXU_LEVEL & 2:
+            sums = _mx(_block_ones(CHUNK, 2),
+                       jnp.concatenate([w * r["t"], w], axis=0))
+            depth_add, alpha_add = sums[0:1], sums[1:2]
+        else:
+            depth_add = _sum_rows(w * r["t"])
+            alpha_add = _sum_rows(w)
+
+        img_d = _dot_cols(chunk[:, 21:24], w)                # (3, P)
+
+        h_c = _rep(chunk[:, 26:27], pix)
+        w_c = _rep(chunk[:, 27:28], pix)
+        tex = [jnp.zeros((1, pix), jnp.float32) for _ in range(3)]
+        for k in range(CHUNK):
+            wk = w[k:k + 1, :]
+            wx = _bil_weights(r["uv_u"][k:k + 1, :] * h_c[k:k + 1, :],
+                              h_c[k:k + 1, :], ch_blk)
+            wy = _bil_weights(r["uv_v"][k:k + 1, :] * w_c[k:k + 1, :],
+                              w_c[k:k + 1, :], cw_blk)
+            cg = _cg_lanes(ch_blk)
+            chart_k = cb[k * cw_blk:(k + 1) * cw_blk, 0:cg]  # (cw, cg)
+            tmp = _dot_cols(chart_k, wy)                     # (cg, P)
+            for ci in range(3):
+                prod = wx * tmp[ci * ch_blk:(ci + 1) * ch_blk, :]
+                tex[ci] = tex[ci] + wk * _sum_rows(prod)
+
+        new_acc = dict(acc)
+        new_acc["img0"] = acc["img0"] + img_d[0:1, :]
+        new_acc["img1"] = acc["img1"] + img_d[1:2, :]
+        new_acc["img2"] = acc["img2"] + img_d[2:3, :]
+        new_acc["tex0"] = acc["tex0"] + tex[0]
+        new_acc["tex1"] = acc["tex1"] + tex[1]
+        new_acc["tex2"] = acc["tex2"] + tex[2]
+        new_acc["depth"] = acc["depth"] + depth_add
+        new_acc["alpha"] = acc["alpha"] + alpha_add
+        return (c + 1, incl[CHUNK - 1:CHUNK, :], new_acc)
+
+    c_final, _, acc = jax.lax.while_loop(cond, body, carry0)
+
+    @pl.when(c_final < n_chunks)
+    def _():
+        _chunk_dma_wait(table_ref, ids_smem, cw_blk, chart_buf, chart_sem,
+                        c_final, jax.lax.rem(c_final, 2))
+
+    for i, name in enumerate(ECH_NAMES):
+        out_ref[0, pl.ds(i * pr, pr), :] = acc[name].reshape(pr, 128)
+
+
+def rasterize_pallas4_eval(grid: TileGrid, chart_pad, inputs: PallasInputs4,
+                           table: jax.Array, interpret: bool = False):
+    """Forward-only render: {img,tex}x3 + depth + alpha maps, no residuals."""
+    num_tiles, s_max, f = inputs.records_t.shape
+    ch_blk = -(-chart_pad[0] // 8) * 8
+    cw_blk = -(-chart_pad[1] // 8) * 8
+    pr = grid.tile_h * grid.tile_w // 128
+    kernel = functools.partial(_eval_kernel4, grid, s_max, ch_blk, cw_blk)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(num_tiles,),
+        in_specs=[
+            pl.BlockSpec((1, s_max, F_REC), lambda t, c, cam: (t, 0, 0)),
+            pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM),
+            pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, NECH * pr, 128), lambda t, c, cam: (t, 0, 0)),
+        ],
+        scratch_shapes=[
+            pltpu.SMEM((_ids_pad(s_max),), jnp.int32),
+            pltpu.VMEM((2, CHUNK * cw_blk, CH3_PAD), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA,
+        ],
+    )
+    out_call = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((num_tiles, NECH * pr, 128), jnp.float32),
+        ],
+        interpret=interpret,
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+            vmem_limit_bytes=100 * 1024 * 1024),
+    )
+    ids_flat = jnp.pad(
+        inputs.ids, ((0, 0), (0, _ids_pad(s_max) - s_max))).reshape(-1)
+    (out,) = out_call(inputs.counts, inputs.cam_info, inputs.records_t,
+                      ids_flat, table)
+    return {name: out[:, i * pr:(i + 1) * pr, :]
+            for i, name in enumerate(ECH_NAMES)}
 
 
 def _bwd_kernel4(grid: TileGrid, s_max: int, ch_blk, cw_blk, counts_ref,
@@ -336,7 +575,8 @@ def _bwd_kernel4(grid: TileGrid, s_max: int, ch_blk, cw_blk, counts_ref,
         base = pl.multiple_of(c * CHUNK, CHUNK)
         chunk = records_ref[0, pl.ds(base, CHUNK), :]        # (K, F)
         valid = (c * CHUNK + k_iota < count).astype(jnp.float32)
-        r = _response2(chunk, valid, dirs, gx, gy)
+        r = _response2(chunk, valid, dirs, gx, gy,
+                       mxu=bool(MXU_LEVEL & 4))
         cb = chart_buf[slot]
 
         a = r["alpha"]
@@ -352,8 +592,14 @@ def _bwd_kernel4(grid: TileGrid, s_max: int, ch_blk, cw_blk, counts_ref,
         w = jnp.where(applied, a * t_k, 0.0)
         wm = w * m
 
-        e_k = e_c + _sufsum_excl(w)
-        d_k = d_c + _sufsum_excl(wm)
+        if MXU_LEVEL & 1:
+            sufs = _mx(_tri_excl_upper(CHUNK, 2),
+                       jnp.concatenate([w, wm], axis=0))
+            e_k = e_c + sufs[:CHUNK]
+            d_k = d_c + sufs[CHUNK:]
+        else:
+            e_k = e_c + _sufsum_excl(w)
+            d_k = d_c + _sufsum_excl(wm)
         big_a = m0_tot - w - e_k
         big_c = m1_tot - wm - d_k
         d_m = 2.0 * g_reg * w * (big_a - e_k)
@@ -438,7 +684,10 @@ def _bwd_kernel4(grid: TileGrid, s_max: int, ch_blk, cw_blk, counts_ref,
         s_k = s_direct + 2.0 * g_reg * ((m * big_a - big_c)
                                         + (d_k - m * e_k))
         sw = s_k * w
-        bs_k = bs_c + _sufsum_excl(sw)
+        if MXU_LEVEL & 1:
+            bs_k = bs_c + _mx(_tri_excl_upper(CHUNK), sw)
+        else:
+            bs_k = bs_c + _sufsum_excl(sw)
         d_alpha = jnp.where(applied, t_k * s_k - bs_k / one_minus, 0.0)
 
         x_pass = jnp.logical_and(x_raw_all >= 0.0,
@@ -485,26 +734,32 @@ def _bwd_kernel4(grid: TileGrid, s_max: int, ch_blk, cw_blk, counts_ref,
         d_nd = jnp.where(nd_pass, -t_hit / r["safe_nd"] * d_t, 0.0)
 
         wfl = w * fl
+        td0, td1, td2 = t_hit * d0, t_hit * d1, t_hit * d2
+        # record fields 12-14 / 16-18 are the DETACHED uv direction
+        # coefficients b1u/b2u (build_records wraps them in stop_gradient —
+        # the reference's detached UV frame, gstex.py:975-990), so their
+        # record grads are zeroed by the XLA transpose; don't compute them.
+        # Fields 15/19 stay live through om = origin - mean.
         vals = [
             d_nd * d0 + wfl * g_norm[0],
             d_nd * d1 + wfl * g_norm[1],
             d_nd * d2 + wfl * g_norm[2],
             d_an,
-            d_u * t_hit * d0,
-            d_u * t_hit * d1,
-            d_u * t_hit * d2,
+            d_u * td0,
+            d_u * td1,
+            d_u * td2,
             d_u,
-            d_v * t_hit * d0,
-            d_v * t_hit * d1,
-            d_v * t_hit * d2,
+            d_v * td0,
+            d_v * td1,
+            d_v * td2,
             d_v,
-            d_uvu * t_hit * d0,
-            d_uvu * t_hit * d1,
-            d_uvu * t_hit * d2,
+            None,
+            None,
+            None,
             d_uvu,
-            d_uvv * t_hit * d0,
-            d_uvv * t_hit * d1,
-            d_uvv * t_hit * d2,
+            None,
+            None,
+            None,
             d_uvv,
             d_op,
             w * g_img[0],
@@ -524,14 +779,23 @@ def _bwd_kernel4(grid: TileGrid, s_max: int, ch_blk, cw_blk, counts_ref,
         grad_chunk = jnp.zeros((CHUNK, F_REC), jnp.float32)
         if "reduce" not in _DEBUG_SKIP:
             for f, v in enumerate(vals):
+                if v is None:
+                    continue
                 grad_chunk = grad_chunk + jnp.where(
                     f_iota == f, _rep(lane_sum(v), F_REC), 0.0)
         drec_ref[0, pl.ds(base, CHUNK), :] = grad_chunk
 
         t_start = t_end / s_incl[0:1, :]
-        bs_new = bs_c + _sum_rows(sw)
-        e_new = e_c + _sum_rows(w)
-        d_new = d_c + _sum_rows(wm)
+        if MXU_LEVEL & 2:
+            sums = _mx(_block_ones(CHUNK, 3),
+                       jnp.concatenate([sw, w, wm], axis=0))
+            bs_new = bs_c + sums[0:1]
+            e_new = e_c + sums[1:2]
+            d_new = d_c + sums[2:3]
+        else:
+            bs_new = bs_c + _sum_rows(sw)
+            e_new = e_c + _sum_rows(w)
+            d_new = d_c + _sum_rows(wm)
         return (c - 1, t_start, bs_new, e_new, d_new)
 
     jax.lax.while_loop(cond, body, carry0)

@@ -124,6 +124,53 @@ def _core4_bwd(grid, chart_pad, interpret, res, g_out):
 _core4.defvjp(_core4_fwd, _core4_bwd)
 
 
+def rasterize_pl_eval(
+    geom: SplatGeom,
+    texture: jax.Array,
+    texture_hw: jax.Array,
+    bins: TileBins,
+    cam: Camera,
+    grid: TileGrid,
+    px_offset=None,
+    interpret: bool = False,
+):
+    """Forward-only render (no VJP, no residuals): img/texture_rgb/depth/alpha.
+
+    Backs the fps eval metric and the viewer/video paths — inference needs
+    only the rgb compositing maps, so the training forward's loss channels
+    and backward replay state are skipped entirely.
+    """
+    chart_pad = (texture.shape[1], texture.shape[2])
+    if (grid.tile_h * grid.tile_w) % 128 != 0:
+        raise ValueError("pallas v4 needs tile_h*tile_w to be a multiple of "
+                         "128 (pixels are packed onto 128 lanes)")
+    pr = grid.tile_h * grid.tile_w // 128
+    packed = rp3.pack_charts_cmajor(texture)
+    table = packed.reshape(-1, packed.shape[-1])
+    origin = cam.c2w[:3, 3]
+    records = rp.assemble_records(geom, origin, texture_hw)
+    rec_pairs = records[bins.ids]
+    counts = jnp.minimum(bins.counts, bins.ids.shape[1])
+    if px_offset is None:
+        px_offset = jnp.zeros((2,), jnp.float32)
+    maps = rp4.rasterize_pallas4_eval(
+        grid, chart_pad,
+        rp4.PallasInputs4(rec_pairs, bins.ids, counts,
+                          rp._cam_info(cam, px_offset)),
+        table, interpret=interpret)
+
+    def ch(name):
+        return rp.untile_packed(maps[name], grid)
+
+    return {
+        "img": jnp.stack([ch("img0"), ch("img1"), ch("img2")], axis=-1),
+        "texture_rgb": jnp.stack([ch("tex0"), ch("tex1"), ch("tex2")],
+                                 axis=-1),
+        "depth": ch("depth"),
+        "alpha": ch("alpha"),
+    }
+
+
 def rasterize_pl(
     geom: SplatGeom,
     texture: jax.Array,

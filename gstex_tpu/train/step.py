@@ -83,11 +83,17 @@ def make_rechart_step(cfg: model.GStexConfig):
     return jax.jit(fn, donate_argnums=(0,))
 
 
-def make_eval_step(cfg: model.GStexConfig, extra: bool = False):
-    """Returns jitted (state, cam, background) -> outputs dict (no grad)."""
+def make_eval_step(cfg: model.GStexConfig, extra: bool = False,
+                   eval_only: bool = True):
+    """Returns jitted (state, cam, background) -> outputs dict (no grad).
+
+    ``eval_only`` (default) uses the forward-only pallas kernel when the
+    renderer is pallas: rgb/depth/alpha only, no loss channels or backward
+    residuals — the fps-metric fast path."""
 
     def fn(state: TrainState, cam: Camera, background):
         return model.render(cfg, state.params, state.buffers, cam,
-                            state.step, background, extra=extra)
+                            state.step, background, extra=extra,
+                            eval_only=eval_only and not extra)
 
     return jax.jit(fn, static_argnames=())

@@ -123,7 +123,7 @@ class Viewer:
             if output_name in ("rgb", "depth", "accumulation") \
                     and self.edit_texture is None:
                 out = model.render(self.cfg, state.params, state.buffers, cam,
-                                   state.step, bg)
+                                   state.step, bg, eval_only=True)
                 imgs = {
                     "rgb": out["rgb"],
                     "depth": _colormap(out["depth"]),

@@ -1,7 +1,8 @@
-"""bwd kernel decomposition via GSTEX_PALLAS_SKIP (post-cull pair counts)."""
+"""CHUNK=32 vs 16 for the v4 kernels (fwd + bwd timing + parity)."""
 import time
 import jax
 import jax.numpy as jnp
+import numpy as np
 from gstex_tpu.utils.tpu import enable_compilation_cache
 enable_compilation_cache()
 from gstex_tpu.data.synthetic import orbit_camera, random_scene
@@ -18,7 +19,7 @@ from gstex_tpu.ops import rasterize_pallas_bwd as rpb
 N = 50_000
 H = W = 800
 cfg = model.GStexConfig(chart_pad=(8, 8), tile_h=32, tile_w=32,
-                        pair_cap=1 << 20, s_max=512, pixel_num=1e6,
+                        pair_cap=1 << 19, s_max=512, pixel_num=1e6,
                         background_color="black")
 
 @jax.jit
@@ -56,36 +57,40 @@ rec_pairs, ids, counts, cam_info, table = jax.block_until_ready(
     make_inputs(params))
 float(counts[0])
 
-@jax.jit
-def fwd(rec_pairs, ids, counts, cam_info, table):
-    maps, ncon = rp4.rasterize_pallas4_fwd(
-        grid, cfg.chart_pad,
-        rp4.PallasInputs4(rec_pairs, ids, counts, cam_info), table)
-    return jnp.concatenate([maps[n] for n in rp.CH_NAMES], axis=1), ncon
-
-out, ncontrib = fwd(rec_pairs, ids, counts, cam_info, table)
-float(out[0, 0, 0])
-gmaps = jnp.ones((out.shape[0], rpb.NG * 8, 128), jnp.float32) * 1e-6
-
-def bwd_fn():
+def run(chunk):
+    rp4.CHUNK = chunk
     @jax.jit
-    def f(counts, cam_info, rec_pairs, ids, table, out, ncontrib, gmaps):
-        d_rec, d_ch = rp4.rasterize_pallas4_bwd(
+    def fwd(rec_pairs, ids, counts, cam_info, table):
+        maps, ncon = rp4.rasterize_pallas4_fwd(
+            grid, cfg.chart_pad,
+            rp4.PallasInputs4(rec_pairs, ids, counts, cam_info), table)
+        return jnp.concatenate([maps[n] for n in rp.CH_NAMES], axis=1), ncon
+    out, ncon = fwd(rec_pairs, ids, counts, cam_info, table)
+    float(out[0, 0, 0])
+    gmaps = jnp.ones((out.shape[0], rpb.NG * 8, 128), jnp.float32) * 1e-6
+    @jax.jit
+    def bwd(counts, cam_info, rec_pairs, ids, table, out, ncon, gmaps):
+        return rp4.rasterize_pallas4_bwd(
             grid, cfg.chart_pad, counts, cam_info, rec_pairs, ids, table,
-            out, ncontrib, gmaps)
-        return d_rec
-    return lambda: f(counts, cam_info, rec_pairs, ids, table, out,
-                     ncontrib, gmaps)
+            out, ncon, gmaps)
+    d_rec, d_ch = bwd(counts, cam_info, rec_pairs, ids, table, out, ncon,
+                      gmaps)
+    float(d_rec[0, 0, 0])
+    def t(fn, *a, iters=8):
+        r = fn(*a); jax.tree.leaves(r)[0].block_until_ready()
+        float(jax.tree.leaves(r)[0].ravel()[0])
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            r = fn(*a); float(jax.tree.leaves(r)[0].ravel()[0])
+        return 1000 * (time.perf_counter() - t0) / iters
+    tf = t(fwd, rec_pairs, ids, counts, cam_info, table)
+    tb = t(bwd, counts, cam_info, rec_pairs, ids, table, out, ncon, gmaps)
+    print(f"CHUNK={chunk}: fwd {tf:.1f} ms  bwd {tb:.1f} ms", flush=True)
+    return np.asarray(out), np.asarray(d_rec), np.asarray(d_ch)
 
-def timeit(name, fn, iters=6):
-    r = fn(); float(r[0, 0, 0])
-    t0 = time.perf_counter()
-    for _ in range(iters):
-        r = fn(); float(r[0, 0, 0])
-    print(f"{name:24s} {1000*(time.perf_counter()-t0)/iters:8.2f} ms",
-          flush=True)
-
-for skip in ("", "fetch", "reduce", "fetch,reduce"):
-    rp4._DEBUG_SKIP = skip
-    timeit(f"bwd skip='{skip}'", bwd_fn())
-timeit("fwd", lambda: fwd(rec_pairs, ids, counts, cam_info, table)[0])
+o16, dr16, dc16 = run(16)
+o32, dr32, dc32 = run(32)
+print("fwd parity:", np.max(np.abs(o16 - o32)), flush=True)
+print("d_rec parity:", np.max(np.abs(dr16 - dr32)), flush=True)
+print("d_chart sum parity:", np.max(np.abs(
+    dc16.reshape(dc16.shape[0], -1).sum(1) - dc32.reshape(dc32.shape[0], -1).sum(1))), flush=True)

@@ -1,4 +1,4 @@
-"""bwd kernel decomposition via GSTEX_PALLAS_SKIP (post-cull pair counts)."""
+"""fwd kernel decomposition via GSTEX_PALLAS_SKIP."""
 import time
 import jax
 import jax.numpy as jnp
@@ -13,12 +13,11 @@ from gstex_tpu.ops import sh as sh_ops
 from gstex_tpu.ops import rasterize_pallas as rp
 from gstex_tpu.ops import rasterize_pallas3 as rp3
 from gstex_tpu.ops import rasterize_pallas4 as rp4
-from gstex_tpu.ops import rasterize_pallas_bwd as rpb
 
 N = 50_000
 H = W = 800
 cfg = model.GStexConfig(chart_pad=(8, 8), tile_h=32, tile_w=32,
-                        pair_cap=1 << 20, s_max=512, pixel_num=1e6,
+                        pair_cap=1 << 19, s_max=512, pixel_num=1e6,
                         background_color="black")
 
 @jax.jit
@@ -56,36 +55,23 @@ rec_pairs, ids, counts, cam_info, table = jax.block_until_ready(
     make_inputs(params))
 float(counts[0])
 
-@jax.jit
-def fwd(rec_pairs, ids, counts, cam_info, table):
-    maps, ncon = rp4.rasterize_pallas4_fwd(
-        grid, cfg.chart_pad,
-        rp4.PallasInputs4(rec_pairs, ids, counts, cam_info), table)
-    return jnp.concatenate([maps[n] for n in rp.CH_NAMES], axis=1), ncon
-
-out, ncontrib = fwd(rec_pairs, ids, counts, cam_info, table)
-float(out[0, 0, 0])
-gmaps = jnp.ones((out.shape[0], rpb.NG * 8, 128), jnp.float32) * 1e-6
-
-def bwd_fn():
+def fwd_fn():
     @jax.jit
-    def f(counts, cam_info, rec_pairs, ids, table, out, ncontrib, gmaps):
-        d_rec, d_ch = rp4.rasterize_pallas4_bwd(
-            grid, cfg.chart_pad, counts, cam_info, rec_pairs, ids, table,
-            out, ncontrib, gmaps)
-        return d_rec
-    return lambda: f(counts, cam_info, rec_pairs, ids, table, out,
-                     ncontrib, gmaps)
+    def f(rec_pairs, ids, counts, cam_info, table):
+        maps, ncon = rp4.rasterize_pallas4_fwd(
+            grid, cfg.chart_pad,
+            rp4.PallasInputs4(rec_pairs, ids, counts, cam_info), table)
+        return maps["img0"]
+    return lambda: f(rec_pairs, ids, counts, cam_info, table)
 
-def timeit(name, fn, iters=6):
+def timeit(name, fn, iters=8):
     r = fn(); float(r[0, 0, 0])
     t0 = time.perf_counter()
     for _ in range(iters):
         r = fn(); float(r[0, 0, 0])
-    print(f"{name:24s} {1000*(time.perf_counter()-t0)/iters:8.2f} ms",
+    print(f"{name:28s} {1000*(time.perf_counter()-t0)/iters:8.2f} ms",
           flush=True)
 
-for skip in ("", "fetch", "reduce", "fetch,reduce"):
+for skip in ("", "fetch", "fetch,dma"):
     rp4._DEBUG_SKIP = skip
-    timeit(f"bwd skip='{skip}'", bwd_fn())
-timeit("fwd", lambda: fwd(rec_pairs, ids, counts, cam_info, table)[0])
+    timeit(f"fwd skip='{skip}'", fwd_fn())

@@ -1,7 +1,8 @@
-"""bwd kernel decomposition via GSTEX_PALLAS_SKIP (post-cull pair counts)."""
+"""Sweep MXU_LEVEL bits for the v4 kernels; timing + parity vs level 0."""
 import time
 import jax
 import jax.numpy as jnp
+import numpy as np
 from gstex_tpu.utils.tpu import enable_compilation_cache
 enable_compilation_cache()
 from gstex_tpu.data.synthetic import orbit_camera, random_scene
@@ -18,7 +19,7 @@ from gstex_tpu.ops import rasterize_pallas_bwd as rpb
 N = 50_000
 H = W = 800
 cfg = model.GStexConfig(chart_pad=(8, 8), tile_h=32, tile_w=32,
-                        pair_cap=1 << 20, s_max=512, pixel_num=1e6,
+                        pair_cap=1 << 19, s_max=512, pixel_num=1e6,
                         background_color="black")
 
 @jax.jit
@@ -56,36 +57,43 @@ rec_pairs, ids, counts, cam_info, table = jax.block_until_ready(
     make_inputs(params))
 float(counts[0])
 
-@jax.jit
-def fwd(rec_pairs, ids, counts, cam_info, table):
-    maps, ncon = rp4.rasterize_pallas4_fwd(
-        grid, cfg.chart_pad,
-        rp4.PallasInputs4(rec_pairs, ids, counts, cam_info), table)
-    return jnp.concatenate([maps[n] for n in rp.CH_NAMES], axis=1), ncon
-
-out, ncontrib = fwd(rec_pairs, ids, counts, cam_info, table)
-float(out[0, 0, 0])
-gmaps = jnp.ones((out.shape[0], rpb.NG * 8, 128), jnp.float32) * 1e-6
-
-def bwd_fn():
+ref = {}
+def run(level):
+    rp4.MXU_LEVEL = level
     @jax.jit
-    def f(counts, cam_info, rec_pairs, ids, table, out, ncontrib, gmaps):
-        d_rec, d_ch = rp4.rasterize_pallas4_bwd(
+    def fwd(rec_pairs, ids, counts, cam_info, table):
+        maps, ncon = rp4.rasterize_pallas4_fwd(
+            grid, cfg.chart_pad,
+            rp4.PallasInputs4(rec_pairs, ids, counts, cam_info), table)
+        return jnp.concatenate([maps[n] for n in rp.CH_NAMES], axis=1), ncon
+    out, ncon = fwd(rec_pairs, ids, counts, cam_info, table)
+    float(out[0, 0, 0])
+    gmaps = jnp.ones((out.shape[0], rpb.NG * 8, 128), jnp.float32) * 1e-6
+    @jax.jit
+    def bwd(counts, cam_info, rec_pairs, ids, table, out, ncon, gmaps):
+        return rp4.rasterize_pallas4_bwd(
             grid, cfg.chart_pad, counts, cam_info, rec_pairs, ids, table,
-            out, ncontrib, gmaps)
-        return d_rec
-    return lambda: f(counts, cam_info, rec_pairs, ids, table, out,
-                     ncontrib, gmaps)
-
-def timeit(name, fn, iters=6):
-    r = fn(); float(r[0, 0, 0])
-    t0 = time.perf_counter()
-    for _ in range(iters):
-        r = fn(); float(r[0, 0, 0])
-    print(f"{name:24s} {1000*(time.perf_counter()-t0)/iters:8.2f} ms",
+            out, ncon, gmaps)
+    d_rec, d_ch = bwd(counts, cam_info, rec_pairs, ids, table, out, ncon,
+                      gmaps)
+    float(d_rec[0, 0, 0])
+    def t(fn, *a, iters=8):
+        r = fn(*a); float(jax.tree.leaves(r)[0].ravel()[0])
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            r = fn(*a); float(jax.tree.leaves(r)[0].ravel()[0])
+        return 1000 * (time.perf_counter() - t0) / iters
+    tf = t(fwd, rec_pairs, ids, counts, cam_info, table)
+    tb = t(bwd, counts, cam_info, rec_pairs, ids, table, out, ncon, gmaps)
+    o, dr = np.asarray(out), np.asarray(d_rec)
+    if level == 0:
+        ref["o"], ref["dr"] = o, dr
+        extra = ""
+    else:
+        extra = (f"  |fwd diff| {np.max(np.abs(o - ref['o'])):.2e}"
+                 f"  |drec diff| {np.max(np.abs(dr - ref['dr'])):.2e}")
+    print(f"MXU={level}: fwd {tf:.1f} ms  bwd {tb:.1f} ms{extra}",
           flush=True)
 
-for skip in ("", "fetch", "reduce", "fetch,reduce"):
-    rp4._DEBUG_SKIP = skip
-    timeit(f"bwd skip='{skip}'", bwd_fn())
-timeit("fwd", lambda: fwd(rec_pairs, ids, counts, cam_info, table)[0])
+for level in (0, 4, 7):
+    run(level)

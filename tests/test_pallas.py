@@ -95,6 +95,24 @@ def test_pallas_gradients_match_xla(version):
             assert np.abs(b).max() > 0, f"xla grad {k} all zero"
 
 
+def test_pallas_eval_kernel_matches_xla():
+    """Forward-only eval kernel: rgb-compositing maps equal the XLA tier."""
+    from gstex_tpu.ops.rasterize_pallas_api import rasterize_pl_eval
+
+    scene, cam = setup()
+    prep, bins = prep_and_bins(scene, cam)
+    out_pl = rasterize_pl_eval(prep.geom, scene["texture"],
+                               scene["texture_hw"], bins, cam, GRID,
+                               interpret=True)
+    out_xla = rasterize(prep.geom, scene["texture"], scene["texture_hw"],
+                        bins, cam, GRID)
+    assert set(out_pl) == {"img", "texture_rgb", "depth", "alpha"}
+    for k in out_pl:
+        np.testing.assert_allclose(np.asarray(out_pl[k]),
+                                   np.asarray(out_xla[k]),
+                                   atol=2e-5, rtol=1e-4, err_msg=k)
+
+
 def test_pallas_v4_tile16_matches_xla():
     scene, cam = setup()
     prep, bins = prep_and_bins(scene, cam, grid=GRID16)
