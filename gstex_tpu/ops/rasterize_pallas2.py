@@ -109,14 +109,17 @@ def _response2(chunk, valid, dirs, gx, gy, mxu: bool = False):
     u = col(7) + t_hit * b1d
     v = col(11) + t_hit * b2d
     r2 = u * u + v * v
-    g_surf = jnp.exp(-0.5 * r2)
-    g_surf = jnp.where(r2 <= EXTENT_SIGMA * EXTENT_SIGMA, g_surf, 0.0)
-
+    # g = max(g_surf, g_scr) with g_surf zeroed outside the 3-sigma ellipse.
+    # exp is monotone, so take the max in ARG space and pay one exp instead
+    # of two (bitwise-identical: the same winning argument is exponentiated).
+    # The ellipse mask becomes arg_s = -1e30 (exp -> 0), which also makes
+    # surf_sel false outside the ellipse — subsuming the backward's guard.
+    arg_s = jnp.where(r2 <= EXTENT_SIGMA * EXTENT_SIGMA, -0.5 * r2, -1e30)
     dpx = gx - col(24)
     dpy = gy - col(25)
-    g_scr = jnp.exp(-0.5 * (dpx * dpx + dpy * dpy) / AA_SIGMA2)
-
-    g = jnp.maximum(g_surf, g_scr)
+    arg_c = (-0.5 / AA_SIGMA2) * (dpx * dpx + dpy * dpy)
+    surf_sel = arg_s >= arg_c
+    g = jnp.exp(jnp.maximum(arg_s, arg_c))
     alpha = jnp.minimum(col(20) * g, ALPHA_CLAMP)
     alpha = jnp.where(alpha < ALPHA_CUTOFF, 0.0, alpha)
     alpha = jnp.where(t_hit > 1e-6, alpha, 0.0)
@@ -131,7 +134,7 @@ def _response2(chunk, valid, dirs, gx, gy, mxu: bool = False):
     return {
         "t": t_hit, "alpha": alpha, "u": u, "v": v, "uv_u": uv_u,
         "uv_v": uv_v, "m": m, "flip": flip, "nd": nd, "safe_nd": safe_nd,
-        "g_surf": g_surf, "g_scr": g_scr, "g": g, "r2": r2,
+        "surf_sel": surf_sel, "g": g, "r2": r2,
         "b1d": b1d, "b2d": b2d, "b1ud": b1ud, "b2ud": b2ud,
         "dpx": dpx, "dpy": dpy,
     }
@@ -465,18 +468,13 @@ def _bwd_kernel2(grid: TileGrid, s_max: int, ch_pad, cw_blk, counts_ref,
             interior = jnp.logical_and(interior, t_k > 1e-6)
             dag = jnp.where(interior, d_alpha, 0.0)
             d_op = r["g"][k:k + 1, :] * dag
-            d_G = op_c[k:k + 1, :] * dag
-            gs_k = r["g_surf"][k:k + 1, :]
-            gc_k = r["g_scr"][k:k + 1, :]
-            surf_sel = gs_k >= gc_k
-            dGs_eff = jnp.where(
-                jnp.logical_and(surf_sel,
-                                r["r2"][k:k + 1, :]
-                                <= EXTENT_SIGMA * EXTENT_SIGMA),
-                gs_k * d_G, 0.0)
+            # winner value is r["g"]; surf_sel encodes the ellipse mask
+            d_G = op_c[k:k + 1, :] * dag * r["g"][k:k + 1, :]
+            surf_sel = r["surf_sel"][k:k + 1, :]
+            dGs_eff = jnp.where(surf_sel, d_G, 0.0)
             d_u = -r["u"][k:k + 1, :] * dGs_eff
             d_v = -r["v"][k:k + 1, :] * dGs_eff
-            dGc_eff = jnp.where(surf_sel, 0.0, gc_k * d_G)
+            dGc_eff = jnp.where(surf_sel, 0.0, d_G)
             d_xy0 = (r["dpx"][k:k + 1, :] / AA_SIGMA2) * dGc_eff
             d_xy1 = (r["dpy"][k:k + 1, :] / AA_SIGMA2) * dGc_eff
 

@@ -703,14 +703,14 @@ def _bwd_kernel4(grid: TileGrid, s_max: int, ch_blk, cw_blk, counts_ref,
         interior = jnp.logical_and(interior, t_hit > 1e-6)
         dag = jnp.where(interior, d_alpha, 0.0)
         d_op = r["g"] * dag
-        d_g = op_c * dag
-        surf_sel = r["g_surf"] >= r["g_scr"]
-        dgs_eff = jnp.where(
-            jnp.logical_and(surf_sel, r["r2"] <= EXTENT_SIGMA * EXTENT_SIGMA),
-            r["g_surf"] * d_g, 0.0)
+        # the winner's gaussian value IS r["g"]; surf_sel already encodes
+        # the ellipse mask (arg_s = -1e30 outside -> sel false)
+        d_g = op_c * dag * r["g"]
+        surf_sel = r["surf_sel"]
+        dgs_eff = jnp.where(surf_sel, d_g, 0.0)
         d_u = -r["u"] * dgs_eff
         d_v = -r["v"] * dgs_eff
-        dgc_eff = jnp.where(surf_sel, 0.0, r["g_scr"] * d_g)
+        dgc_eff = jnp.where(surf_sel, 0.0, d_g)
         d_xy0 = (r["dpx"] / AA_SIGMA2) * dgc_eff
         d_xy1 = (r["dpy"] / AA_SIGMA2) * dgc_eff
 

@@ -101,7 +101,10 @@ def _core4_bwd(grid, chart_pad, interpret, res, g_out):
     # pair-space chart grads -> per-gaussian table grads (one segment sum
     # over the tile id lists; conflict-free within a tile by construction).
     # d_charts packs pack_n consecutive splats per 128-lane block: lane
-    # l = i*cg + j holds splat i's channel-lane j.
+    # l = i*cg + j holds splat i's channel-lane j. (A transpose-free
+    # per-lane-slot reduction was measured 6x SLOWER: scatter cost scales
+    # with scattered-row count, and 4 passes of (T*G*cw, 32) rows lose to
+    # one pass of wide (T*S, cw*cg) rows despite the 330 MB pack relayout.)
     tt, ss = ids.shape
     ch_blk = -(-chart_pad[0] // 8) * 8
     cg = rp4._cg_lanes(ch_blk)

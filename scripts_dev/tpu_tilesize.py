@@ -14,7 +14,8 @@ cam = orbit_camera(H, W, dist=4.0)
 gt = jnp.zeros((H, W, 3), jnp.float32)
 
 def measure(tile, s_max, cull):
-    cfg = model.GStexConfig(chart_pad=(8, 8), tile_h=tile, tile_w=tile,
+    th, tw = tile if isinstance(tile, tuple) else (tile, tile)
+    cfg = model.GStexConfig(chart_pad=(8, 8), tile_h=th, tile_w=tw,
                             pair_cap=1 << 20, s_max=s_max, pixel_num=1e6,
                             background_color="black", renderer="pallas",
                             pair_cull=cull)
@@ -41,7 +42,8 @@ def measure(tile, s_max, cull):
     dt = min(ts)
     print(f"  step {dt*1e3:.1f} ms  {(H*W/1e6)/dt:.2f} Mpix/s", flush=True)
 
-for tile, s_max in ((32, 512), (16, 256), (16, 512), (8, 128)):
+for tile, s_max in ((32, 512), ((16, 32), 384), ((32, 16), 384),
+                    (16, 256), (16, 384)):
     try:
         measure(tile, s_max, True)
     except Exception as e:
