@@ -29,6 +29,8 @@ def main():
     H = W = 800
     N = 50_000
 
+    SCAN = 8  # trainer's steps_per_sync: steps fused under one dispatch
+
     def build(renderer):
         cfg = model.GStexConfig(chart_pad=(8, 8), tile_h=32, tile_w=32,
                                 pair_cap=1 << 19, s_max=512, pixel_num=1e6,
@@ -48,33 +50,36 @@ def main():
         ocfg = optim.OptimConfig()
         state, tx = train_step.init_state(cfg, ocfg, params, buffers,
                                           jax.random.key(1))
-        return cfg, state, train_step.make_train_step(cfg, tx)
+        return cfg, state, train_step.make_train_scan(cfg, tx)
 
-    cam = orbit_camera(H, W, dist=4.0)
-    gt = jnp.zeros((H, W, 3), jnp.float32)
+    from gstex_tpu.ops.camera import stack_cameras
 
-    def timed(step_fn, state, iters):
-        # force a host sync every step: on the axon backend
+    cams = stack_cameras([orbit_camera(H, W, dist=4.0, azimuth=0.03 * i)
+                          for i in range(SCAN)])
+    gts = jnp.zeros((SCAN, H, W, 3), jnp.float32)
+
+    def timed(scan_fn, state, chunks):
+        # force a host sync every chunk: on the axon backend
         # block_until_ready does not reliably wait, so async dispatch makes
         # whole loops "finish" at dispatch speed
         losses = []
         t0 = time.perf_counter()
-        for _ in range(iters):
-            state, metrics = step_fn(state, cam, gt)
-            losses.append(float(metrics["loss"]))
-        dt = (time.perf_counter() - t0) / iters
+        for _ in range(chunks):
+            state, metrics = scan_fn(state, cams, gts)
+            losses.extend(float(x) for x in metrics["loss"])
+        dt = (time.perf_counter() - t0) / (chunks * SCAN)
         return dt, losses, state, metrics
 
     def measure(renderer):
-        cfg, state, step_fn = build(renderer)
-        state, metrics = step_fn(state, cam, gt)   # warmup / compile
-        float(metrics["loss"])  # true device sync (block_until_ready lies
-                                # on the axon backend; program load is lazy)
+        cfg, state, scan_fn = build(renderer)
+        state, metrics = scan_fn(state, cams, gts)   # warmup / compile
+        float(metrics["loss"][0])  # true device sync (block_until_ready
+                                   # lies on axon; program load is lazy)
         # two scales; self-verify real sequential training is happening
-        dt1, losses1, state, _ = timed(step_fn, state, 5)
-        dt2, losses2, state, metrics = timed(step_fn, state, 15)
-        assert float(metrics["loss"]) > 0 and float(metrics["psnr"]) < 99, \
-            "degenerate bench step"
+        dt1, losses1, state, _ = timed(scan_fn, state, 1)
+        dt2, losses2, state, metrics = timed(scan_fn, state, 3)
+        assert (float(metrics["loss"][-1]) > 0
+                and float(metrics["psnr"][-1]) < 99), "degenerate bench step"
         assert len(set(losses1 + losses2)) > 3, \
             f"loss not evolving — bogus measurement: {losses1}"
         ratio = dt1 / dt2

@@ -59,6 +59,15 @@ def make_camera(fx, fy, cx, cy, height, width, c2w) -> Camera:
     return Camera(f32(fx), f32(fy), f32(cx), f32(cy), int(height), int(width), c2w)
 
 
+def stack_cameras(cams: list) -> Camera:
+    """Stack same-resolution cameras into one Camera pytree with a leading
+    chunk axis on the array leaves (scan input for ``make_train_scan``)."""
+    h, w = cams[0].height, cams[0].width
+    if any(c.height != h or c.width != w for c in cams):
+        raise ValueError("stack_cameras requires equal resolutions")
+    return jax.tree.map(lambda *xs: jnp.stack(xs), *cams)
+
+
 def viewmat_from_c2w(c2w: jax.Array) -> jax.Array:
     """(3,4) nerfstudio c2w -> (4,4) gsplat world-to-camera (``gstex.py:1031-1042``)."""
     R = c2w[:3, :3]

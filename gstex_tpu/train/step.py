@@ -37,37 +37,78 @@ def init_state(cfg: model.GStexConfig, ocfg: optim.OptimConfig,
                       jnp.int32(0), key), tx
 
 
+def _train_body(cfg: model.GStexConfig, tx: optax.GradientTransformation,
+                state: TrainState, cam: Camera, image: jax.Array,
+                mask: jax.Array | None = None):
+    """One functional train step (shared by the jitted single-step and the
+    scanned multi-step paths)."""
+    key, bg_key = jax.random.split(state.key)
+    background = model.sample_background(cfg, bg_key)
+    gt = model.composite_gt(image, background)
+
+    def loss_of(params):
+        outputs = model.render(cfg, params, state.buffers, cam,
+                               state.step, background)
+        total, parts = model.loss_fn(cfg, outputs, gt, state.step,
+                                     mask=mask)
+        return total, (parts, outputs)
+
+    (loss, (parts, outputs)), grads = jax.value_and_grad(
+        loss_of, has_aux=True)(state.params)
+    updates, opt_state = tx.update(grads, state.opt_state, state.params)
+    params = optax.apply_updates(state.params, updates)
+    metrics = dict(parts)
+    metrics["loss"] = loss
+    metrics["overflow"] = outputs["overflow"]
+    metrics["total_pairs"] = outputs["total_pairs"]
+    metrics["psnr"] = 10.0 * -jnp.log10(
+        jnp.maximum(jnp.mean((outputs["rgb"] - gt) ** 2), 1e-12))
+    new_state = TrainState(params, state.buffers, opt_state,
+                           state.step + 1, key)
+    return new_state, metrics
+
+
 def make_train_step(cfg: model.GStexConfig, tx: optax.GradientTransformation):
     """Returns jitted (state, cam, image) -> (state, metrics)."""
 
     def step_fn(state: TrainState, cam: Camera, image: jax.Array,
                 mask: jax.Array | None = None):
-        key, bg_key = jax.random.split(state.key)
-        background = model.sample_background(cfg, bg_key)
-        gt = model.composite_gt(image, background)
-
-        def loss_of(params):
-            outputs = model.render(cfg, params, state.buffers, cam,
-                                   state.step, background)
-            total, parts = model.loss_fn(cfg, outputs, gt, state.step,
-                                         mask=mask)
-            return total, (parts, outputs)
-
-        (loss, (parts, outputs)), grads = jax.value_and_grad(
-            loss_of, has_aux=True)(state.params)
-        updates, opt_state = tx.update(grads, state.opt_state, state.params)
-        params = optax.apply_updates(state.params, updates)
-        metrics = dict(parts)
-        metrics["loss"] = loss
-        metrics["overflow"] = outputs["overflow"]
-        metrics["total_pairs"] = outputs["total_pairs"]
-        metrics["psnr"] = 10.0 * -jnp.log10(
-            jnp.maximum(jnp.mean((outputs["rgb"] - gt) ** 2), 1e-12))
-        new_state = TrainState(params, state.buffers, opt_state,
-                               state.step + 1, key)
-        return new_state, metrics
+        return _train_body(cfg, tx, state, cam, image, mask)
 
     return jax.jit(step_fn, donate_argnums=(0,), static_argnames=())
+
+
+def make_train_scan(cfg: model.GStexConfig, tx: optax.GradientTransformation,
+                    with_mask: bool = False):
+    """Multi-step training under ONE dispatch: ``lax.scan`` over the step
+    body.
+
+    The reference dispatches one fused CUDA step per iteration and pays a
+    host round-trip each time (``trainer.py:442-486``); under jit the whole
+    chunk compiles once, XLA pipelines adjacent steps (optimizer update of
+    step i overlaps binning of step i+1), and the host syncs once per chunk
+    — which matters doubly on remote/tunneled TPU backends where each
+    dispatch carries RPC latency. All cameras in a chunk must share (H, W)
+    (static under jit); the trainer falls back to the single-step path
+    otherwise.
+
+    Returns jitted (state, cams, images[, masks]) -> (state, metrics) where
+    ``cams`` is a Camera pytree with a leading chunk axis on array leaves,
+    ``images`` is (n, H, W, 3), and metrics are stacked (n,) scalars.
+    """
+
+    def scan_fn(state: TrainState, cams: Camera, images: jax.Array,
+                masks: jax.Array | None = None):
+        xs = (cams, images, masks) if with_mask else (cams, images)
+
+        def body(st, x):
+            cam, image = x[0], x[1]
+            mask = x[2] if with_mask else None
+            return _train_body(cfg, tx, st, cam, image, mask)
+
+        return jax.lax.scan(body, state, xs)
+
+    return jax.jit(scan_fn, donate_argnums=(0,), static_argnames=())
 
 
 def make_rechart_step(cfg: model.GStexConfig):

@@ -68,6 +68,11 @@ class TrainerConfig:
     load_checkpoint: Optional[str] = None
     log_every: int = 10
     num_devices: int = 0   # >1: shard tile rows over a device mesh
+    # train steps fused under one jit dispatch (lax.scan). Amortizes host
+    # round-trips and lets XLA pipeline adjacent steps; chunks are clipped
+    # to cadence boundaries (log/rechart/eval/save) so observable behavior
+    # is step-identical. 1 disables.
+    steps_per_sync: int = 8
 
 
 class Trainer:
@@ -100,6 +105,7 @@ class Trainer:
         self._train_step = step_mod.make_train_step(mcfg, self.tx)
         self._rechart = step_mod.make_rechart_step(mcfg)
         self._eval = step_mod.make_eval_step(mcfg)
+        self._scan_steps: dict = {}
         self._img_cache: dict = {}
         self.viewer = None
 
@@ -125,31 +131,90 @@ class Trainer:
         print(f"viewer on http://localhost:{port}")
         return self.viewer
 
+    def _chunk_size(self, step: int) -> int:
+        """Steps fusible under one scan dispatch from ``step``: clipped so
+        the chunk ENDS exactly on the nearest cadence boundary (an event at
+        step s runs after s trains — s must be the chunk's last step)."""
+        tcfg, mcfg = self.tcfg, self.mcfg
+        n = tcfg.steps_per_sync
+        if (n <= 1 or self.viewer is not None or self.mesh is not None
+                or model.downscale_factor(mcfg, step) > 1):
+            return 1
+        cadences = [c for c in (mcfg.build_chart_every, tcfg.log_every,
+                                tcfg.steps_per_eval_image,
+                                tcfg.steps_per_save) if c and c > 0]
+        for c in cadences:
+            nxt = step if step % c == 0 else step + (c - step % c)
+            n = min(n, nxt - step + 1)
+        n = min(n, self.tcfg.max_num_iterations - step)
+        # don't scan across a resolution-schedule boundary
+        while (n > 1 and model.downscale_factor(mcfg, step + n - 1)
+               != model.downscale_factor(mcfg, step)):
+            n -= 1
+        return max(n, 1)
+
+    def _scan_for(self, n: int, h: int, w: int):
+        # cleared on capacity growth (config swap) in _grow_capacities
+        key = (n, h, w)
+        if key not in self._scan_steps:
+            self._scan_steps[key] = step_mod.make_train_scan(self.mcfg,
+                                                             self.tx)
+        return self._scan_steps[key]
+
+    def _run_one(self, step: int, cam, img, mask):
+        mcfg = self.mcfg
+        d = model.downscale_factor(mcfg, step)
+        if d > 1:
+            cam, img = _downscale(cam, img, d)
+            if mask is not None:
+                mask = mask[::d, ::d]
+        # downscaled arrays are transient — don't cache them
+        gt = (self._device_image(img) if d == 1
+              else jnp.asarray(image_to_float(img)))
+        m = (None if mask is None
+             else jnp.asarray(mask, jnp.float32)[..., None])
+        lock = (self.viewer.train_lock if self.viewer is not None
+                else _NULL_LOCK)
+        with lock:
+            self.state, metrics = self._step_for(cam)(self.state, cam, gt, m)
+        return cam, metrics
+
     def train(self):
         tcfg, mcfg = self.tcfg, self.mcfg
         start = int(self.state.step)
         t_last = time.time()
-        for step in range(start, tcfg.max_num_iterations):
+        steps_since_log = 0
+        step = start
+        while step < tcfg.max_num_iterations:
             if self.viewer is not None:
                 while self.viewer.paused:
                     time.sleep(0.1)
-            cam, img, mask = self.train_cache.next_train()
-            d = model.downscale_factor(mcfg, step)
-            if d > 1:
-                cam, img = _downscale(cam, img, d)
-                if mask is not None:
-                    mask = mask[::d, ::d]
+            n = self._chunk_size(step)
+            batch = [self.train_cache.next_train() for _ in range(n)]
+            same_res = len({(c.height, c.width) for c, _, _ in batch}) == 1
+            no_mask = all(m is None for _, _, m in batch)
             with profiler.time_section("train_iteration"):
-                # downscaled arrays are transient — don't cache them
-                gt = (self._device_image(img) if d == 1
-                      else jnp.asarray(image_to_float(img)))
-                m = (None if mask is None
-                     else jnp.asarray(mask, jnp.float32)[..., None])
-                lock = (self.viewer.train_lock if self.viewer is not None
-                        else _NULL_LOCK)
-                with lock:
-                    self.state, metrics = self._step_for(cam)(
-                        self.state, cam, gt, m)
+                if n > 1 and same_res and no_mask:
+                    from ..ops.camera import stack_cameras
+
+                    cams = stack_cameras([c for c, _, _ in batch])
+                    gts = jnp.stack([self._device_image(im)
+                                     for _, im, _ in batch])
+                    scan = self._scan_for(n, batch[0][0].height,
+                                          batch[0][0].width)
+                    self.state, ms = scan(self.state, cams, gts)
+                    metrics = {k: v[-1] for k, v in ms.items()}
+                    metrics["overflow"] = ms["overflow"].max()
+                    cam = batch[-1][0]
+                else:
+                    for cam, img, mask in batch[:-1]:
+                        self._run_one(step, cam, img, mask)
+                        step += 1
+                        steps_since_log += 1
+                    cam, metrics = self._run_one(step, *batch[-1])
+                    n = 1
+            step += n - 1  # `step` now indexes the chunk's LAST iteration
+            steps_since_log += n
 
             # AFTER_TRAIN_ITERATION hooks (gstex.py:901-923)
             if (mcfg.build_chart_every > 0 and step > 0
@@ -160,9 +225,10 @@ class Trainer:
             if step % tcfg.log_every == 0:
                 metrics = {k: float(v) for k, v in metrics.items()}
                 now = time.time()
-                rays_per_sec = (cam.height * cam.width * tcfg.log_every
+                rays_per_sec = (cam.height * cam.width * steps_since_log
                                 / max(now - t_last, 1e-6))
                 t_last = now
+                steps_since_log = 0
                 metrics["rays_per_sec"] = rays_per_sec
                 metrics["texel_count"] = float(
                     model.texel_count(self.state.buffers))
@@ -177,6 +243,7 @@ class Trainer:
             if (tcfg.steps_per_save > 0 and step > 0
                     and step % tcfg.steps_per_save == 0):
                 self.save()
+            step += 1
 
         self.save()
         print(profiler.summary())
@@ -203,6 +270,7 @@ class Trainer:
         self._train_step = step_mod.make_train_step(mcfg, self.tx)
         self._rechart = step_mod.make_rechart_step(mcfg)
         self._eval = step_mod.make_eval_step(mcfg)
+        self._scan_steps = {}
         if self.viewer is not None:
             self.viewer.cfg = mcfg
 
