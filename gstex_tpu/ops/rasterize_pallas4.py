@@ -242,30 +242,32 @@ def _fwd_kernel4(grid: TileGrid, s_max: int, ch_blk, cw_blk, counts_ref,
         img_d = _dot_cols(chunk[:, 21:24], w)                # (3, P)
         nrm_d = _dot_cols(chunk[:, 0:3], w * r["flip"])      # (3, P)
 
+        # texel fetch: fold the blend weight into the x-axis bilinear
+        # weights and accumulate full (ch, P) blocks; ONE row reduction per
+        # channel per CHUNK instead of per splat. (1,P)-shaped ops run at
+        # 1/8 sublane utilization on the VPU — avoid them in the loop.
         h_c = _rep(chunk[:, 26:27], pix)
         w_c = _rep(chunk[:, 27:28], pix)
-        tex = [jnp.zeros((1, pix), jnp.float32) for _ in range(3)]
+        tex = [jnp.zeros((ch_blk, pix), jnp.float32) for _ in range(3)]
         ks_fetch = [] if "fetch" in _DEBUG_SKIP else list(range(CHUNK))
         for k in ks_fetch:
-            wk = w[k:k + 1, :]
             wx = _bil_weights(r["uv_u"][k:k + 1, :] * h_c[k:k + 1, :],
-                              h_c[k:k + 1, :], ch_blk)
+                              h_c[k:k + 1, :], ch_blk) * w[k:k + 1, :]
             wy = _bil_weights(r["uv_v"][k:k + 1, :] * w_c[k:k + 1, :],
                               w_c[k:k + 1, :], cw_blk)
             cg = _cg_lanes(ch_blk)
             chart_k = cb[k * cw_blk:(k + 1) * cw_blk, 0:cg]  # (cw, cg)
             tmp = _dot_cols(chart_k, wy)                     # (cg, P)
             for ci in range(3):
-                prod = wx * tmp[ci * ch_blk:(ci + 1) * ch_blk, :]
-                tex[ci] = tex[ci] + wk * _sum_rows(prod)
+                tex[ci] = tex[ci] + wx * tmp[ci * ch_blk:(ci + 1) * ch_blk, :]
 
         new_acc = dict(acc)
         new_acc["img0"] = acc["img0"] + img_d[0:1, :]
         new_acc["img1"] = acc["img1"] + img_d[1:2, :]
         new_acc["img2"] = acc["img2"] + img_d[2:3, :]
-        new_acc["tex0"] = acc["tex0"] + tex[0]
-        new_acc["tex1"] = acc["tex1"] + tex[1]
-        new_acc["tex2"] = acc["tex2"] + tex[2]
+        new_acc["tex0"] = acc["tex0"] + _sum_rows(tex[0])
+        new_acc["tex1"] = acc["tex1"] + _sum_rows(tex[1])
+        new_acc["tex2"] = acc["tex2"] + _sum_rows(tex[2])
         new_acc["depth"] = acc["depth"] + depth_add
         new_acc["n0"] = acc["n0"] + nrm_d[0:1, :]
         new_acc["n1"] = acc["n1"] + nrm_d[1:2, :]
@@ -418,29 +420,29 @@ def _eval_kernel4(grid: TileGrid, s_max: int, ch_blk, cw_blk, counts_ref,
 
         img_d = _dot_cols(chunk[:, 21:24], w)                # (3, P)
 
+        # blend weight folded into wx; one row reduction per channel per
+        # chunk (see the train kernel's fetch note)
         h_c = _rep(chunk[:, 26:27], pix)
         w_c = _rep(chunk[:, 27:28], pix)
-        tex = [jnp.zeros((1, pix), jnp.float32) for _ in range(3)]
+        tex = [jnp.zeros((ch_blk, pix), jnp.float32) for _ in range(3)]
         for k in range(CHUNK):
-            wk = w[k:k + 1, :]
             wx = _bil_weights(r["uv_u"][k:k + 1, :] * h_c[k:k + 1, :],
-                              h_c[k:k + 1, :], ch_blk)
+                              h_c[k:k + 1, :], ch_blk) * w[k:k + 1, :]
             wy = _bil_weights(r["uv_v"][k:k + 1, :] * w_c[k:k + 1, :],
                               w_c[k:k + 1, :], cw_blk)
             cg = _cg_lanes(ch_blk)
             chart_k = cb[k * cw_blk:(k + 1) * cw_blk, 0:cg]  # (cw, cg)
             tmp = _dot_cols(chart_k, wy)                     # (cg, P)
             for ci in range(3):
-                prod = wx * tmp[ci * ch_blk:(ci + 1) * ch_blk, :]
-                tex[ci] = tex[ci] + wk * _sum_rows(prod)
+                tex[ci] = tex[ci] + wx * tmp[ci * ch_blk:(ci + 1) * ch_blk, :]
 
         new_acc = dict(acc)
         new_acc["img0"] = acc["img0"] + img_d[0:1, :]
         new_acc["img1"] = acc["img1"] + img_d[1:2, :]
         new_acc["img2"] = acc["img2"] + img_d[2:3, :]
-        new_acc["tex0"] = acc["tex0"] + tex[0]
-        new_acc["tex1"] = acc["tex1"] + tex[1]
-        new_acc["tex2"] = acc["tex2"] + tex[2]
+        new_acc["tex0"] = acc["tex0"] + _sum_rows(tex[0])
+        new_acc["tex1"] = acc["tex1"] + _sum_rows(tex[1])
+        new_acc["tex2"] = acc["tex2"] + _sum_rows(tex[2])
         new_acc["depth"] = acc["depth"] + depth_add
         new_acc["alpha"] = acc["alpha"] + alpha_add
         return (c + 1, incl[CHUNK - 1:CHUNK, :], new_acc)
