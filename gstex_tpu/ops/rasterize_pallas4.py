@@ -629,9 +629,9 @@ def _bwd_kernel4(grid: TileGrid, s_max: int, ch_blk, cw_blk, counts_ref,
             tmp = _dot_cols(chart_k, wy)                     # (cg, P)
 
             wk = w[k:k + 1, :]
-            wcot = [wk * g_tex[ci] for ci in range(3)]
+            wxk = wx * wk          # blend weight folded once, (ch, P)
             m2 = jnp.concatenate(
-                [wx * wcot[ci] for ci in range(3)]
+                [wxk * g_tex[ci] for ci in range(3)]
                 + [jnp.zeros((pad_rows, pix), jnp.float32)], axis=0)
             d_chart_grp.append(jax.lax.dot_general(
                 wy, m2, (((1,), (1,)), ((), ())),
@@ -644,12 +644,14 @@ def _bwd_kernel4(grid: TileGrid, s_max: int, ch_blk, cw_blk, counts_ref,
                 dchart_ref[0, pl.ds(cbase, cw_blk), :] = blk
                 d_chart_grp = []
 
-            coeff = (wcot[0] * tmp[0 * ch_blk:1 * ch_blk, :]
-                     + wcot[1] * tmp[1 * ch_blk:2 * ch_blk, :]
-                     + wcot[2] * tmp[2 * ch_blk:3 * ch_blk, :])
+            # coeff without wk (row-independent): multiply wk after the
+            # row reduction instead of on every (ch, P) row
+            coeff = (g_tex[0] * tmp[0 * ch_blk:1 * ch_blk, :]
+                     + g_tex[1] * tmp[1 * ch_blk:2 * ch_blk, :]
+                     + g_tex[2] * tmp[2 * ch_blk:3 * ch_blk, :])
             dfx = xg - a_io
             dwx_dx = jnp.where(jnp.abs(dfx) <= 1.0, -jnp.sign(dfx), 0.0)
-            dx_s[k:k + 1, :] = _sum_rows(coeff * dwx_dx)
+            dx_s[k:k + 1, :] = wk * _sum_rows(coeff * dwx_dx)
 
             d_wy = jax.lax.dot_general(
                 chart_k, m2, (((1,), (0,)), ((), ())),

@@ -63,6 +63,31 @@ def test_scan_matches_single_steps():
     assert len(set(losses)) == n
 
 
+def test_2dgs_mode_trains():
+    """BASELINE config 1: pixel_num=0 (untextured 2DGS) — one texel per
+    gaussian; the full train step must run and optimize."""
+    cfg = model.GStexConfig(chart_pad=(4, 4), tile_h=32, tile_w=32,
+                            pair_cap=8192, s_max=64, pixel_num=0,
+                            background_color="black", renderer="xla")
+    scene = random_scene(jax.random.key(2), N, chart_pad=cfg.chart_pad)
+    params, buffers = model.init_params(
+        cfg, scene["means"], scene["log_scales"], scene["quats"],
+        scene["opacity_logits"], scene["features_dc"],
+        scene["features_rest"])
+    assert int(model.texel_count(buffers)) == N   # one texel per gaussian
+    state, tx = train_step.init_state(cfg, optim.OptimConfig(), params,
+                                      buffers, jax.random.key(3))
+    step_fn = train_step.make_train_step(cfg, tx)
+    cam = orbit_camera(H, W, dist=3.0)
+    gt = jnp.full((H, W, 3), 0.3)
+    losses = []
+    for _ in range(3):
+        state, metrics = step_fn(state, cam, gt)
+        losses.append(float(metrics["loss"]))
+    assert all(np.isfinite(losses))
+    assert losses[-1] < losses[0]
+
+
 def test_stack_cameras_rejects_mixed_resolution():
     import pytest
 
