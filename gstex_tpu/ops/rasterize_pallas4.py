@@ -773,11 +773,14 @@ def _bwd_kernel4(grid: TileGrid, s_max: int, ch_blk, cw_blk, counts_ref,
             d_xy1,
         ]
         def lane_sum(v):
-            # fold 128-lane tiles first (vreg adds), then one short reduce
-            u = v[:, 0:128]
-            for i in range(1, pix // 128):
-                u = u + v[:, i * 128:(i + 1) * 128]
-            return jnp.sum(u, axis=1, keepdims=True)         # (K, 1)
+            # binary-tree fold to one 128-lane tile (log2 depth — the VPU
+            # op latency is ~360 cycles, so a sequential fold chain would
+            # serialize), then one short in-lane reduce
+            width = pix
+            while width > 128:
+                width //= 2
+                v = v[:, 0:width] + v[:, width:2 * width]
+            return jnp.sum(v, axis=1, keepdims=True)         # (K, 1)
 
         f_iota = jax.lax.broadcasted_iota(jnp.int32, (CHUNK, F_REC), 1)
         grad_chunk = jnp.zeros((CHUNK, F_REC), jnp.float32)
