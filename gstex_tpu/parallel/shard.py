@@ -78,15 +78,12 @@ def _render_band(cfg, params, buffers, cam, step, axis_name, bgrid, band_h):
     return maps
 
 
-def make_sharded_train_step(cfg: model.GStexConfig,
-                            tx: optax.GradientTransformation,
-                            mesh: Mesh, height: int, width: int,
-                            axis_name: str = "tile"):
-    """Jitted multi-chip train step: (state, cam, image) -> (state, metrics).
-
-    All inputs replicated; each device renders its band; grads are psum'd;
-    the (replicated, deterministic) optimizer update runs on every device.
-    """
+def _sharded_step_core(cfg: model.GStexConfig,
+                       tx: optax.GradientTransformation,
+                       mesh: Mesh, height: int, width: int,
+                       axis_name: str = "tile"):
+    """The shard_map'd per-step body shared by the single-step and scanned
+    multi-chip train makers."""
     ndev = mesh.shape[axis_name]
     bgrid, band_h = band_grid(cfg, height, width, ndev)
 
@@ -145,11 +142,23 @@ def make_sharded_train_step(cfg: model.GStexConfig,
         }
         return params, opt_state, step + 1, key, metrics
 
-    sharded = shard_map(
+    return shard_map(
         shard_fn, mesh=mesh,
         in_specs=(P(), P(), P(), P(), P(), P(), P()),
         out_specs=(P(), P(), P(), P(), P()),
         check_vma=False)
+
+
+def make_sharded_train_step(cfg: model.GStexConfig,
+                            tx: optax.GradientTransformation,
+                            mesh: Mesh, height: int, width: int,
+                            axis_name: str = "tile"):
+    """Jitted multi-chip train step: (state, cam, image) -> (state, metrics).
+
+    All inputs replicated; each device renders its band; grads are psum'd;
+    the (replicated, deterministic) optimizer update runs on every device.
+    """
+    sharded = _sharded_step_core(cfg, tx, mesh, height, width, axis_name)
 
     @jax.jit
     def step_fn(state: TrainState, cam: Camera, image):
@@ -160,6 +169,36 @@ def make_sharded_train_step(cfg: model.GStexConfig,
         return TrainState(params, state.buffers, opt_state, step, key), metrics
 
     return step_fn
+
+
+def make_sharded_train_scan(cfg: model.GStexConfig,
+                            tx: optax.GradientTransformation,
+                            mesh: Mesh, height: int, width: int,
+                            axis_name: str = "tile"):
+    """Scanned multi-chip training: n steps fused under one dispatch.
+
+    lax.scan over the shard_map'd step — XLA overlaps the grad psum /
+    all_gather collectives of step i with step i+1's binning (the
+    collectives ride ICI while the VPU starts the next frame), and the host
+    syncs once per chunk. Takes (state, cams, images) where ``cams`` is a
+    Camera pytree with a leading chunk axis (``stack_cameras``) and images
+    is (n, H, W, 3); all cameras must match this maker's (height, width).
+    """
+    sharded = _sharded_step_core(cfg, tx, mesh, height, width, axis_name)
+
+    @jax.jit
+    def scan_fn(state: TrainState, cams: Camera, images):
+        def body(st, x):
+            cam, image = x
+            params, opt_state, step, key, metrics = sharded(
+                st.params, st.buffers, st.opt_state, st.step, st.key,
+                (cam.fx, cam.fy, cam.cx, cam.cy, cam.c2w), image)
+            return (TrainState(params, st.buffers, opt_state, step, key),
+                    metrics)
+
+        return jax.lax.scan(body, state, (cams, images))
+
+    return scan_fn
 
 
 def make_sharded_render(cfg: model.GStexConfig, mesh: Mesh,

@@ -137,7 +137,7 @@ class Trainer:
         step s runs after s trains — s must be the chunk's last step)."""
         tcfg, mcfg = self.tcfg, self.mcfg
         n = tcfg.steps_per_sync
-        if (n <= 1 or self.viewer is not None or self.mesh is not None
+        if (n <= 1 or self.viewer is not None
                 or model.downscale_factor(mcfg, step) > 1):
             return 1
         cadences = [c for c in (mcfg.build_chart_every, tcfg.log_every,
@@ -157,8 +157,14 @@ class Trainer:
         # cleared on capacity growth (config swap) in _grow_capacities
         key = (n, h, w)
         if key not in self._scan_steps:
-            self._scan_steps[key] = step_mod.make_train_scan(self.mcfg,
-                                                             self.tx)
+            if self.mesh is not None:
+                from ..parallel.shard import make_sharded_train_scan
+
+                self._scan_steps[key] = make_sharded_train_scan(
+                    self.mcfg, self.tx, self.mesh, h, w)
+            else:
+                self._scan_steps[key] = step_mod.make_train_scan(self.mcfg,
+                                                                 self.tx)
         return self._scan_steps[key]
 
     def _run_one(self, step: int, cam, img, mask):

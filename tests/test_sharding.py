@@ -62,6 +62,34 @@ def test_sharded_train_matches_single():
                                np.asarray(s2.params.texture), atol=1e-5)
 
 
+def test_sharded_scan_matches_sharded_steps():
+    """Scanned multi-chip training == the same sequence of sharded steps."""
+    from gstex_tpu.ops.camera import stack_cameras
+
+    mesh = Mesh(np.array(jax.devices()), ("tile",))
+    n = 2
+    cams = [orbit_camera(H, W, dist=3.0, azimuth=0.2 * i) for i in range(n)]
+    gts = jnp.stack([jnp.full((H, W, 3), 0.2 + 0.1 * i) for i in range(n)])
+
+    state, tx, _ = setup()
+    sfn = shard.make_sharded_train_step(CFG, tx, mesh, H, W)
+    s_seq = state
+    losses = []
+    for i in range(n):
+        s_seq, m = sfn(s_seq, cams[i], gts[i])
+        losses.append(float(m["loss"]))
+
+    state2, tx2, _ = setup()
+    scan_fn = shard.make_sharded_train_scan(CFG, tx2, mesh, H, W)
+    s_scan, ms = scan_fn(state2, stack_cameras(cams), gts)
+
+    np.testing.assert_allclose(np.asarray(ms["loss"]), np.asarray(losses),
+                               rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(s_scan.params.means),
+                               np.asarray(s_seq.params.means), atol=1e-6)
+    assert int(s_scan.step) == n
+
+
 def test_trainer_multidevice(tmp_path):
     """End-to-end: Trainer with num_devices=8 runs the shard_map step."""
     from gstex_tpu.data.manager import FullImageCache
@@ -70,11 +98,15 @@ def test_trainer_multidevice(tmp_path):
     state, tx, cam = setup(n=32)
     img = np.zeros((H, W, 3), np.uint8)
     cache = FullImageCache(cameras=[cam], images=[img])
-    tcfg = TrainerConfig(max_num_iterations=3, steps_per_save=0,
-                         steps_per_eval_image=0, log_every=1,
-                         output_dir=str(tmp_path), num_devices=8)
+    # log_every=10 lets the chunked loop fuse steps 1-3 under one sharded
+    # scan dispatch (step 0 logs, so its chunk is 1)
+    tcfg = TrainerConfig(max_num_iterations=4, steps_per_save=0,
+                         steps_per_eval_image=0, log_every=10,
+                         output_dir=str(tmp_path), num_devices=8,
+                         steps_per_sync=8)
     tr = Trainer(tcfg, CFG, optim.OptimConfig(), state.params, state.buffers,
                  cache)
     tr.train()
     assert tr.mesh is not None
-    assert int(tr.state.step) == 3
+    assert int(tr.state.step) == 4
+    assert any(k[0] > 1 for k in tr._scan_steps), "sharded scan never used"
