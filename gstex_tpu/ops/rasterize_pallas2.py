@@ -38,6 +38,12 @@ from .rasterize_pallas import _chart_dma as _chart_dma_base
 CHUNK = 16
 _chart_dma = _ft.partial(_chart_dma_base, chunk=CHUNK)
 
+# f32 emulation depth for the kernel MXU dots. Mosaic supports only
+# DEFAULT (1 bf16 pass — too coarse for t_hit) and HIGHEST (6 passes);
+# Precision.HIGH (3 passes) raises NotImplementedError in the pallas
+# lowering as of jax 0.8, so the cheaper middle option is unavailable.
+MXU_DOT_PRECISION = jax.lax.Precision.HIGHEST
+
 P = 1024  # pixels per 32x32 tile
 
 G_NAMES = ["img0", "img1", "img2", "tex0", "tex1", "tex2", "depth", "alpha",
@@ -89,7 +95,7 @@ def _response2(chunk, valid, dirs, gx, gy, mxu: bool = False):
             return jax.lax.dot_general(
                 chunk[:, base:base + 3], dmat, (((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
-                precision=jax.lax.Precision.HIGHEST)     # (K, P)
+                precision=MXU_DOT_PRECISION)             # (K, P)
 
         nd = ddot(0)
         b1d = ddot(4)

@@ -93,11 +93,13 @@ def _block_ones(k, blocks):
 
 
 def _mx(mat, rhs):
-    """(m, K) @ (K, P) on the MXU in f32."""
+    """(m, K) @ (K, P) on the MXU in f32 (emulated via bf16 passes)."""
+    from .rasterize_pallas2 import MXU_DOT_PRECISION
+
     return jax.lax.dot_general(
         mat, rhs, (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
-        precision=jax.lax.Precision.HIGHEST)
+        precision=MXU_DOT_PRECISION)
 
 
 class PallasInputs4(NamedTuple):
@@ -651,7 +653,6 @@ def _bwd_kernel4(grid: TileGrid, s_max: int, ch_blk, cw_blk, counts_ref,
                      + g_tex[2] * tmp[2 * ch_blk:3 * ch_blk, :])
             dfx = xg - a_io
             dwx_dx = jnp.where(jnp.abs(dfx) <= 1.0, -jnp.sign(dfx), 0.0)
-            dx_s[k:k + 1, :] = wk * _sum_rows(coeff * dwx_dx)
 
             d_wy = jax.lax.dot_general(
                 chart_k, m2, (((1,), (0,)), ((), ())),
@@ -659,11 +660,25 @@ def _bwd_kernel4(grid: TileGrid, s_max: int, ch_blk, cw_blk, counts_ref,
 
             dfy = yg - b_io
             dwy_dy = jnp.where(jnp.abs(dfy) <= 1.0, -jnp.sign(dfy), 0.0)
-            dy_s[k:k + 1, :] = _sum_rows(d_wy * dwy_dy)
 
-            for ci in range(3):
-                prod = wx * tmp[ci * ch_blk:(ci + 1) * ch_blk, :]
-                tex_s[ci, k:k + 1, :] = _sum_rows(prod)
+            if ch_blk == cw_blk:
+                # the five per-splat row reductions (dx, dy, tex rgb) as
+                # ONE block-ones MXU dot instead of five sublane reduces
+                stacked = jnp.concatenate(
+                    [coeff * dwx_dx, d_wy * dwy_dy]
+                    + [wx * tmp[ci * ch_blk:(ci + 1) * ch_blk, :]
+                       for ci in range(3)], axis=0)          # (5*ch, P)
+                red = _mx(_block_ones(ch_blk, 5), stacked)   # (5, P)
+                dx_s[k:k + 1, :] = wk * red[0:1, :]
+                dy_s[k:k + 1, :] = red[1:2, :]
+                for ci in range(3):
+                    tex_s[ci, k:k + 1, :] = red[2 + ci:3 + ci, :]
+            else:
+                dx_s[k:k + 1, :] = wk * _sum_rows(coeff * dwx_dx)
+                dy_s[k:k + 1, :] = _sum_rows(d_wy * dwy_dy)
+                for ci in range(3):
+                    prod = wx * tmp[ci * ch_blk:(ci + 1) * ch_blk, :]
+                    tex_s[ci, k:k + 1, :] = _sum_rows(prod)
 
         if "fetch" in _DEBUG_SKIP:
             zkp = jnp.zeros((CHUNK, pix), jnp.float32)
