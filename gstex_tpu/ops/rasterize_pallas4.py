@@ -661,24 +661,14 @@ def _bwd_kernel4(grid: TileGrid, s_max: int, ch_blk, cw_blk, counts_ref,
             dfy = yg - b_io
             dwy_dy = jnp.where(jnp.abs(dfy) <= 1.0, -jnp.sign(dfy), 0.0)
 
-            if ch_blk == cw_blk:
-                # the five per-splat row reductions (dx, dy, tex rgb) as
-                # ONE block-ones MXU dot instead of five sublane reduces
-                stacked = jnp.concatenate(
-                    [coeff * dwx_dx, d_wy * dwy_dy]
-                    + [wx * tmp[ci * ch_blk:(ci + 1) * ch_blk, :]
-                       for ci in range(3)], axis=0)          # (5*ch, P)
-                red = _mx(_block_ones(ch_blk, 5), stacked)   # (5, P)
-                dx_s[k:k + 1, :] = wk * red[0:1, :]
-                dy_s[k:k + 1, :] = red[1:2, :]
-                for ci in range(3):
-                    tex_s[ci, k:k + 1, :] = red[2 + ci:3 + ci, :]
-            else:
-                dx_s[k:k + 1, :] = wk * _sum_rows(coeff * dwx_dx)
-                dy_s[k:k + 1, :] = _sum_rows(d_wy * dwy_dy)
-                for ci in range(3):
-                    prod = wx * tmp[ci * ch_blk:(ci + 1) * ch_blk, :]
-                    tex_s[ci, k:k + 1, :] = _sum_rows(prod)
+            # five per-splat sublane reductions; batching them into one
+            # block-ones MXU dot measured 36% SLOWER (16 small 6-pass dots
+            # + a 40-row concat per splat lose to the VPU reduces)
+            dx_s[k:k + 1, :] = wk * _sum_rows(coeff * dwx_dx)
+            dy_s[k:k + 1, :] = _sum_rows(d_wy * dwy_dy)
+            for ci in range(3):
+                prod = wx * tmp[ci * ch_blk:(ci + 1) * ch_blk, :]
+                tex_s[ci, k:k + 1, :] = _sum_rows(prod)
 
         if "fetch" in _DEBUG_SKIP:
             zkp = jnp.zeros((CHUNK, pix), jnp.float32)
