@@ -50,6 +50,10 @@ def main(argv=None):
                    help="root holding <scene>/init_nvs/point_cloud.ply")
     p.add_argument("--output-root", default="outputs/experiments")
     p.add_argument("--scenes", nargs="*", default=None)
+    p.add_argument("--train-args", nargs=argparse.REMAINDER, default=[],
+                   help="extra flags passed through to every gstex-train "
+                        "invocation (e.g. --train-args --max-num-iterations "
+                        "100 --renderer pallas)")
     args = p.parse_args(argv)
 
     root = Path(args.data_root)
@@ -68,7 +72,7 @@ def main(argv=None):
         data = root / scene
         init_root = Path(args.init_root) if args.init_root else data
         if nvs:
-            extra = []
+            extra = list(args.train_args)
             ply = init_root / "init_nvs" / "point_cloud.ply"
             if ply.exists():
                 extra += ["--init-ply", str(ply)]
@@ -78,6 +82,7 @@ def main(argv=None):
                 ply = init_root / "init_lod" / f"pc_{size}.ply"
                 extra = (["--init-lod-ply", str(ply)] if ply.exists()
                          else ["--num-random", str(size)])
+                extra += list(args.train_args)
                 run_one(method, data, out_root / f"{scene}_{size}", extra, log)
         (out_root / "log.json").write_text(json.dumps(log, indent=2))
 
