@@ -103,3 +103,6 @@ for ilp in (2, 4, 8):
     run_ilp("fma", lambda v: v * 1.0001 + 1e-6, ilp)
 run_ilp("exp", lambda v: jnp.exp(v * 1e-6), 4)
 run_ilp("div", lambda v: 1.0 / (v + 1.5), 4)
+
+for ilp in (16, 32):
+    run_ilp("fma", lambda v: v * 1.0001 + 1e-6, ilp)
