@@ -113,6 +113,24 @@ def test_pallas_eval_kernel_matches_xla():
                                    atol=2e-5, rtol=1e-4, err_msg=k)
 
 
+def test_pallas_v4_mxu_level0_matches_xla(monkeypatch):
+    """The pure-VPU chunk body (MXU_LEVEL=0) must stay correct — it is the
+    fallback/reference path for the MXU-offloaded default (level 7)."""
+    from gstex_tpu.ops import rasterize_pallas4 as rp4
+
+    monkeypatch.setattr(rp4, "MXU_LEVEL", 0)
+    scene, cam = setup()
+    prep, bins = prep_and_bins(scene, cam)
+    out_pl = rasterize_pl(prep.geom, scene["texture"], scene["texture_hw"],
+                          bins, cam, GRID, interpret=True, version=4)
+    out_xla = rasterize(prep.geom, scene["texture"], scene["texture_hw"],
+                        bins, cam, GRID)
+    for k in ["img", "texture_rgb", "depth", "alpha", "normal", "reg"]:
+        np.testing.assert_allclose(np.asarray(out_pl[k]),
+                                   np.asarray(out_xla[k]),
+                                   atol=2e-5, rtol=1e-4, err_msg=k)
+
+
 def test_pallas_v4_tile16_matches_xla():
     scene, cam = setup()
     prep, bins = prep_and_bins(scene, cam, grid=GRID16)
