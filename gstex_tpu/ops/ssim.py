@@ -40,9 +40,12 @@ def _blur(x: jax.Array, win: jax.Array) -> jax.Array:
     return y[0].transpose(1, 2, 0)
 
 
-def ssim(img1: jax.Array, img2: jax.Array, data_range: float = 1.0,
-         win_size: int = 11, sigma: float = 1.5) -> jax.Array:
-    """Mean SSIM over an (H, W, C) image pair. Differentiable."""
+def ssim_map(img1: jax.Array, img2: jax.Array, data_range: float = 1.0,
+             win_size: int = 11, sigma: float = 1.5) -> jax.Array:
+    """Per-window SSIM values, (H-w+1, W-w+1, C). Valid padding means the
+    map is local: computing it on an overlapping band slice yields exactly
+    the corresponding rows of the full-image map (the basis of the
+    halo-exchange sharded loss, ``parallel/shard.py``)."""
     k1, k2 = 0.01, 0.03
     c1 = (k1 * data_range) ** 2
     c2 = (k2 * data_range) ** 2
@@ -58,8 +61,13 @@ def ssim(img1: jax.Array, img2: jax.Array, data_range: float = 1.0,
     sigma12 = _blur(img1 * img2, win) - mu12
 
     cs = (2.0 * sigma12 + c2) / (sigma1_sq + sigma2_sq + c2)
-    ssim_map = ((2.0 * mu12 + c1) / (mu1_sq + mu2_sq + c1)) * cs
-    return jnp.mean(ssim_map)
+    return ((2.0 * mu12 + c1) / (mu1_sq + mu2_sq + c1)) * cs
+
+
+def ssim(img1: jax.Array, img2: jax.Array, data_range: float = 1.0,
+         win_size: int = 11, sigma: float = 1.5) -> jax.Array:
+    """Mean SSIM over an (H, W, C) image pair. Differentiable."""
+    return jnp.mean(ssim_map(img1, img2, data_range, win_size, sigma))
 
 
 def psnr(img1: jax.Array, img2: jax.Array, data_range: float = 1.0) -> jax.Array:

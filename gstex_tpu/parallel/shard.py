@@ -4,10 +4,10 @@ The TPU-native replacement for the reference's DDP data parallelism
 (SURVEY.md §2.3): instead of replicating whole images per GPU process with
 NCCL grad all-reduce, the image's tile rows are sharded across chips on a
 ``jax.sharding.Mesh`` — every chip bins and rasterizes only its horizontal
-band (Gaussians + charts replicated), the bands are ``all_gather``'d for the
-full-image SSIM loss, and parameter/texel gradients arrive through the
-collective transpose (reduce-scatter) + ``psum``, riding ICI. Multi-host uses
-the same mesh over ``jax.distributed`` processes.
+band (Gaussians + charts replicated), the L1/SSIM loss is computed band-
+locally (SSIM via a 10-row ``ppermute`` halo so no frame is ever gathered in
+the train step), and parameter/texel gradients are ``psum``'d, riding ICI.
+Multi-host uses the same mesh over ``jax.distributed`` processes.
 
 Works identically on a virtual CPU mesh (tests / dryrun) and a real slice.
 """
@@ -47,10 +47,19 @@ def band_grid(cfg: model.GStexConfig, height: int, width: int,
     return bg, band_rows * cfg.tile_h
 
 
-def _render_band(cfg, params, buffers, cam, step, axis_name, bgrid, band_h):
-    """Render this device's band. Returns per-band maps (band_h, W, ...)."""
+def _render_band(cfg, params, buffers, cam, step, axis_name, bgrid, band_h,
+                 eval_only=False):
+    """Render this device's band. Returns per-band maps (band_h, W, ...).
+
+    Dispatches on ``cfg.renderer`` like the single-device path
+    (``models/gstex.py:render``): the Pallas kernels are the fast path on
+    TPU (the reference runs the same CUDA rasterizer per DDP rank,
+    ``base_pipeline.py:281-283``); the XLA tier doubles as the CPU-mesh test
+    oracle via ``pallas_interpret`` / ``renderer="xla"``.
+    """
     idx = jax.lax.axis_index(axis_name)
     y0 = (idx * band_h).astype(jnp.float32)
+    px_offset = jnp.stack([jnp.zeros_like(y0), y0])
     prep = prepare_splats(
         params.means, params.log_scales, params.quats, params.opacity_logits,
         params.features_dc, params.features_rest, buffers.mappings, cam,
@@ -72,10 +81,98 @@ def _render_band(cfg, params, buffers, cam, step, axis_name, bgrid, band_h):
         texture = sh_ops.sh_to_rgb(params.texture)
     else:
         texture = jax.nn.sigmoid(params.texture)
-    maps = rasterize(prep.geom, texture, buffers.texture_hw, bins, cam, bgrid,
-                     px_offset=jnp.stack([jnp.zeros_like(y0), y0]))
+    if cfg.renderer.startswith("pallas"):
+        from ..ops.rasterize_pallas_api import rasterize_pl, rasterize_pl_eval
+
+        interp = "interpret" in cfg.renderer
+        if eval_only:
+            maps = rasterize_pl_eval(prep.geom, texture, buffers.texture_hw,
+                                     bins, cam, bgrid, px_offset=px_offset,
+                                     interpret=interp)
+        else:
+            maps = rasterize_pl(prep.geom, texture, buffers.texture_hw, bins,
+                                cam, bgrid, px_offset=px_offset,
+                                interpret=interp)
+    else:
+        maps = rasterize(prep.geom, texture, buffers.texture_hw, bins, cam,
+                         bgrid, px_offset=px_offset)
     maps["overflow"] = bins.overflow
     return maps
+
+
+# SSIM window extent: windows whose top-left row a band owns reach this many
+# rows into the following band(s) (11x11 valid conv)
+_HALO = 10
+
+
+def _band_loss(cfg, params, buffers, step, axis_name, ndev, bgrid, band_h,
+               height, width, cam_tuple, image, background):
+    """Band-local + collective loss for ONE camera over the ``axis_name``
+    tile axis: masked L1/normal/reg band sums psum'd over the mesh, SSIM on
+    each band extended by a ``_HALO``-row ``ppermute`` halo from the
+    following band(s) — every 11x11 window is evaluated on exactly one
+    chip, so the result equals the single-device full-image loss without
+    replicating the conv work or ``all_gather``-ing the frame.
+
+    Returns (total_loss, (band_mse_sum, overflow)).
+    """
+    fx_, fy_, cx_, cy_, c2w_ = cam_tuple
+    cam = Camera(fx=fx_, fy=fy_, cx=cx_, cy=cy_, height=height,
+                 width=width, c2w=c2w_)
+    n_px = height * width
+    # halo may span several bands when bands are shorter than the window
+    k_hops = -(-_HALO // band_h)
+    gt = model.composite_gt(image, background)
+    # pad GT rows so every band (+halo) slice is in bounds; padded rows
+    # only ever appear inside masked-out terms
+    gt_pad = jnp.pad(
+        gt, ((0, ndev * band_h + _HALO - height), (0, 0), (0, 0)))
+    idx = jax.lax.axis_index(axis_name)
+    row = jnp.arange(band_h)
+    # rows of this band that lie inside the image
+    rowmask = ((idx * band_h + row) < height).astype(jnp.float32)
+
+    maps = _render_band(cfg, params, buffers, cam, step, axis_name,
+                        bgrid, band_h)
+    band_rgb = maps["img"] + maps["texture_rgb"] + (
+        1.0 - maps["alpha"][..., None]) * background[None, None, :]
+    band_rgb = jnp.clip(band_rgb, 0.0, 1.0)
+    gt_band = jax.lax.dynamic_slice_in_dim(
+        gt_pad, idx * band_h, band_h, axis=0)
+    l1_sum = jnp.sum(
+        jnp.abs(gt_band - band_rgb) * rowmask[:, None, None])
+    l1 = jax.lax.psum(l1_sum, axis_name) / (n_px * 3)
+    # SSIM halo: receive the first _HALO rows of the next band(s)
+    parts = [band_rgb]
+    for j in range(1, k_hops + 1):
+        rows_j = min(band_h, _HALO - (j - 1) * band_h)
+        perm = [(s, (s - j) % ndev) for s in range(ndev)]
+        parts.append(jax.lax.ppermute(band_rgb[:rows_j], axis_name, perm))
+    pred_slab = jnp.concatenate(parts, axis=0)
+    gt_slab = jax.lax.dynamic_slice_in_dim(
+        gt_pad, idx * band_h, band_h + _HALO, axis=0)
+    from ..ops import ssim as ssim_ops
+    smap = ssim_ops.ssim_map(gt_slab, pred_slab)      # (band_h, W-10, C)
+    # windows whose top-left row this band owns and that fit the image
+    n_own = jnp.clip(height - _HALO - idx * band_h, 0, band_h)
+    ssim_sum = jnp.sum(
+        smap * (row < n_own).astype(jnp.float32)[:, None, None])
+    ssim_mean = jax.lax.psum(ssim_sum, axis_name) / (
+        (height - _HALO) * (width - _HALO) * 3)
+    simloss = 1.0 - ssim_mean
+    lam_n = model.schedule_value(cfg.lambda_normal, step)
+    lam_r = model.schedule_value(cfg.lambda_reg, step)
+    normal_part = jnp.sum(
+        (maps["alpha"] - jnp.sum(maps["normal"] * maps["normal"], -1))
+        * rowmask[:, None])
+    reg_part = jnp.sum(maps["reg"] * rowmask[:, None])
+    normal_loss = lam_n * jax.lax.psum(normal_part, axis_name) / n_px
+    reg_loss = lam_r * jax.lax.psum(reg_part, axis_name) / n_px
+    main = (1.0 - cfg.ssim_lambda) * l1 + cfg.ssim_lambda * simloss
+    total = main + normal_loss + reg_loss
+    mse_sum = jnp.sum(
+        (band_rgb - gt_band) ** 2 * rowmask[:, None, None])
+    return total, (mse_sum, maps["overflow"])
 
 
 def _sharded_step_core(cfg: model.GStexConfig,
@@ -83,62 +180,38 @@ def _sharded_step_core(cfg: model.GStexConfig,
                        mesh: Mesh, height: int, width: int,
                        axis_name: str = "tile"):
     """The shard_map'd per-step body shared by the single-step and scanned
-    multi-chip train makers."""
+    multi-chip train makers.
+
+    The loss is fully band-local + collective: L1/PSNR/normal/reg are masked
+    band sums ``psum``'d over the mesh, and SSIM is computed on each band
+    extended by a ``_HALO``-row ``ppermute`` halo from the following band(s)
+    — every 11x11 window is evaluated on exactly one chip, so the result
+    equals the single-device full-image SSIM without replicating the conv
+    work or ``all_gather``-ing the frame (the reference's DDP instead
+    replicates whole images per rank, ``base_pipeline.py:281-283``).
+    """
     ndev = mesh.shape[axis_name]
     bgrid, band_h = band_grid(cfg, height, width, ndev)
 
     def shard_fn(params, buffers, opt_state, step, key, cam_tuple, image):
-        fx_, fy_, cx_, cy_, c2w_ = cam_tuple
-        cam = Camera(fx=fx_, fy=fy_, cx=cx_, cy=cy_, height=height,
-                     width=width, c2w=c2w_)
         key, bg_key = jax.random.split(key)
         background = model.sample_background(cfg, bg_key)
-        gt = model.composite_gt(image, background)
 
         def loss_of(params):
-            maps = _render_band(cfg, params, buffers, cam, step, axis_name,
-                                bgrid, band_h)
-            band_rgb = maps["img"] + maps["texture_rgb"] + (
-                1.0 - maps["alpha"][..., None]) * background[None, None, :]
-            band_rgb = jnp.clip(band_rgb, 0.0, 1.0)
-            full_rgb = jax.lax.all_gather(
-                band_rgb, axis_name, axis=0, tiled=True)[:height]
-            # L1 + SSIM on the gathered full image (identical on every
-            # device); band-local regularizer means are psum-averaged
-            outputs = {
-                "rgb": full_rgb,
-                "alpha": maps["alpha"],
-                "normal": maps["normal"],
-                "reg": maps["reg"],
-            }
-            l1 = jnp.mean(jnp.abs(gt - full_rgb))
-            from ..ops import ssim as ssim_ops
-            simloss = 1.0 - ssim_ops.ssim(gt, full_rgb)
-            lam_n = model.schedule_value(cfg.lambda_normal, step)
-            lam_r = model.schedule_value(cfg.lambda_reg, step)
-            normal_part = jnp.sum(
-                maps["alpha"] - jnp.sum(maps["normal"] * maps["normal"], -1))
-            reg_part = jnp.sum(maps["reg"])
-            # padded band rows beyond the image render empty (alpha/reg = 0),
-            # so normalizing by the true pixel count matches the single-device
-            # full-image mean exactly
-            n_px = height * width
-            normal_loss = lam_n * jax.lax.psum(normal_part, axis_name) / n_px
-            reg_loss = lam_r * jax.lax.psum(reg_part, axis_name) / n_px
-            main = (1.0 - cfg.ssim_lambda) * l1 + cfg.ssim_lambda * simloss
-            total = main + normal_loss + reg_loss
-            return total, (full_rgb, maps["overflow"])
+            return _band_loss(cfg, params, buffers, step, axis_name, ndev,
+                              bgrid, band_h, height, width, cam_tuple,
+                              image, background)
 
-        (loss, (rgb, overflow)), grads = jax.value_and_grad(
+        (loss, (mse_sum, overflow)), grads = jax.value_and_grad(
             loss_of, has_aux=True)(params)
         grads = jax.lax.psum(grads, axis_name)
         updates, opt_state = tx.update(grads, opt_state, params)
         params = optax.apply_updates(params, updates)
+        mse = jax.lax.psum(mse_sum, axis_name) / (height * width * 3)
         metrics = {
             "loss": loss,
             "overflow": jax.lax.psum(overflow, axis_name),
-            "psnr": 10.0 * -jnp.log10(
-                jnp.maximum(jnp.mean((rgb - gt) ** 2), 1e-12)),
+            "psnr": 10.0 * -jnp.log10(jnp.maximum(mse, 1e-12)),
         }
         return params, opt_state, step + 1, key, metrics
 
@@ -201,6 +274,79 @@ def make_sharded_train_scan(cfg: model.GStexConfig,
     return scan_fn
 
 
+def make_batch_sharded_train_step(cfg: model.GStexConfig,
+                                  tx: optax.GradientTransformation,
+                                  mesh: Mesh, height: int, width: int,
+                                  data_axis: str = "data",
+                                  tile_axis: str = "tile"):
+    """Camera-batch data parallelism over a 2-D (data, tile) mesh — the
+    analog of the reference's DDP, which trains world_size DIFFERENT
+    cameras per step and all-reduces (averages) gradients
+    (``nerfstudio/scripts/train.py:204-209``,
+    ``pipelines/base_pipeline.py:281-283``). Each data row of the mesh
+    trains its own camera with tile-row band sharding along the tile axis
+    (band collectives ride ICI); per-camera grads are psum-averaged over
+    the data axis (typically hosts/DCN).
+
+    Returns (state, cams, images) -> (state, metrics) where ``cams`` is a
+    stacked Camera pytree with leading axis B = mesh.shape[data_axis] and
+    images is (B, H, W, 3). Metrics are per-batch means.
+    """
+    b = mesh.shape[data_axis]
+    ndev = mesh.shape[tile_axis]
+    bgrid, band_h = band_grid(cfg, height, width, ndev)
+
+    def shard_fn(params, buffers, opt_state, step, key, cam_tuple, image):
+        # this data row's camera: strip the sharded leading axis
+        cam_tuple = jax.tree.map(lambda x: x[0], cam_tuple)
+        image = image[0]
+        key, bg_key = jax.random.split(key)
+        # per-camera background, like one DDP rank's independent sample
+        bg_key = jax.random.fold_in(bg_key, jax.lax.axis_index(data_axis))
+        background = model.sample_background(cfg, bg_key)
+
+        def loss_of(params):
+            return _band_loss(cfg, params, buffers, step, tile_axis,
+                              ndev, bgrid, band_h, height, width,
+                              cam_tuple, image, background)
+
+        (loss, (mse_sum, overflow)), grads = jax.value_and_grad(
+            loss_of, has_aux=True)(params)
+        # sum the band grads within each camera, then average over the
+        # camera batch (DDP averages rank grads)
+        grads = jax.lax.psum(grads, tile_axis)
+        grads = jax.lax.pmean(grads, data_axis)
+        loss = jax.lax.pmean(loss, data_axis)
+        updates, opt_state = tx.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        mse = jax.lax.pmean(
+            jax.lax.psum(mse_sum, tile_axis), data_axis) / (
+                height * width * 3)
+        metrics = {
+            "loss": loss,
+            "overflow": jax.lax.psum(overflow, (data_axis, tile_axis)),
+            "psnr": 10.0 * -jnp.log10(jnp.maximum(mse, 1e-12)),
+        }
+        return params, opt_state, step + 1, key, metrics
+
+    sharded = shard_map(
+        shard_fn, mesh=mesh,
+        in_specs=(P(), P(), P(), P(), P(), P(data_axis), P(data_axis)),
+        out_specs=(P(), P(), P(), P(), P()),
+        check_vma=False)
+
+    @jax.jit
+    def step_fn(state: TrainState, cams: Camera, images):
+        cam_tuple = (cams.fx, cams.fy, cams.cx, cams.cy, cams.c2w)
+        params, opt_state, step, key, metrics = sharded(
+            state.params, state.buffers, state.opt_state, state.step,
+            state.key, cam_tuple, images)
+        return TrainState(params, state.buffers, opt_state, step, key), \
+            metrics
+
+    return step_fn
+
+
 def make_sharded_render(cfg: model.GStexConfig, mesh: Mesh,
                         height: int, width: int, axis_name: str = "tile"):
     """Jitted multi-chip forward render: (state, cam, background) -> rgb."""
@@ -212,7 +358,7 @@ def make_sharded_render(cfg: model.GStexConfig, mesh: Mesh,
         cam = Camera(fx=fx_, fy=fy_, cx=cx_, cy=cy_, height=height,
                      width=width, c2w=c2w_)
         maps = _render_band(cfg, params, buffers, cam, step, axis_name,
-                            bgrid, band_h)
+                            bgrid, band_h, eval_only=True)
         band_rgb = maps["img"] + maps["texture_rgb"] + (
             1.0 - maps["alpha"][..., None]) * background[None, None, :]
         band_rgb = jnp.clip(band_rgb, 0.0, 1.0)

@@ -1,0 +1,85 @@
+"""Two-process multi-host training over jax.distributed (VERDICT r1 item 6).
+
+Spawns 2 localhost processes x 4 virtual CPU devices each; the sharded
+train step runs on the 8-device global mesh with collectives crossing the
+process boundary. The result must equal the same step on a single-process
+8-device mesh — proving the ``parallel/distributed.py`` bootstrap and
+cross-process collectives actually work (the reference exercises its DDP
+path only by real process spawn, ``nerfstudio/scripts/train.py:103-157``).
+"""
+
+import json
+import socket
+import subprocess
+import sys
+from pathlib import Path
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh
+
+from gstex_tpu.data.synthetic import orbit_camera, random_scene
+from gstex_tpu.models import gstex as model
+from gstex_tpu.parallel import shard
+from gstex_tpu.train import optim, step as train_step
+
+REPO = Path(__file__).resolve().parents[1]
+
+
+def _free_port():
+    with socket.socket() as s:
+        s.bind(("localhost", 0))
+        return s.getsockname()[1]
+
+
+def _single_process_result():
+    cfg = model.GStexConfig(chart_pad=(4, 4), tile_h=8, tile_w=16,
+                            pair_cap=1 << 14, s_max=64, pixel_num=500,
+                            background_color="black")
+    h, w = 64, 48
+    scene = random_scene(jax.random.key(0), 48, chart_pad=cfg.chart_pad)
+    params, buffers = model.init_params(
+        cfg, scene["means"], scene["log_scales"], scene["quats"],
+        scene["opacity_logits"], scene["features_dc"],
+        scene["features_rest"])
+    state, tx = train_step.init_state(cfg, optim.OptimConfig(max_steps=100),
+                                      params, buffers, jax.random.key(3))
+    cam = orbit_camera(h, w, dist=3.0)
+    gt = jnp.full((h, w, 3), 0.25, jnp.float32)
+    mesh = Mesh(np.array(jax.devices()), ("tile",))
+    step_fn = shard.make_sharded_train_step(cfg, tx, mesh, h, w)
+    new_state, metrics = step_fn(state, cam, gt)
+    return {"loss": float(metrics["loss"]),
+            "psnr": float(metrics["psnr"]),
+            "means_sum": float(jnp.abs(new_state.params.means).sum())}
+
+
+def test_two_process_multihost(tmp_path):
+    port = _free_port()
+    out_path = tmp_path / "result.json"
+    procs = []
+    for pid in (0, 1):
+        procs.append(subprocess.Popen(
+            [sys.executable, str(REPO / "tests" / "multihost_worker.py"),
+             str(pid), str(port), str(out_path)],
+            cwd=REPO, stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
+            text=True))
+    outs = []
+    for p in procs:
+        try:
+            out, _ = p.communicate(timeout=600)
+        except subprocess.TimeoutExpired:
+            for q in procs:
+                q.kill()
+            raise
+        outs.append(out)
+    for p, out in zip(procs, outs):
+        assert p.returncode == 0, f"worker failed:\n{out[-4000:]}"
+    got = json.loads(out_path.read_text())
+    want = _single_process_result()
+    assert abs(got["loss"] - want["loss"]) < 1e-5, (got, want)
+    assert abs(got["psnr"] - want["psnr"]) < 1e-3, (got, want)
+    assert got["means_sum"] > 0
+    np.testing.assert_allclose(got["means_sum"], want["means_sum"],
+                               rtol=1e-5)

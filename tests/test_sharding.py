@@ -1,6 +1,8 @@
 """Multi-chip sharding: the banded shard_map render/train must equal the
 single-device path (virtual 8-device CPU mesh, SURVEY.md §4.4)."""
 
+import dataclasses
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -17,15 +19,15 @@ CFG = model.GStexConfig(chart_pad=(4, 4), tile_h=8, tile_w=16,
 H, W = 64, 48
 
 
-def setup(n=48):
-    scene = random_scene(jax.random.key(0), n, chart_pad=CFG.chart_pad)
+def setup(n=48, cfg=CFG, h=H, w=W):
+    scene = random_scene(jax.random.key(0), n, chart_pad=cfg.chart_pad)
     params, buffers = model.init_params(
-        CFG, scene["means"], scene["log_scales"], scene["quats"],
+        cfg, scene["means"], scene["log_scales"], scene["quats"],
         scene["opacity_logits"], scene["features_dc"], scene["features_rest"])
     ocfg = optim.OptimConfig(max_steps=100)
-    state, tx = train_step.init_state(CFG, ocfg, params, buffers,
+    state, tx = train_step.init_state(cfg, ocfg, params, buffers,
                                       jax.random.key(3))
-    cam = orbit_camera(H, W, dist=3.0)
+    cam = orbit_camera(h, w, dist=3.0)
     return state, tx, cam
 
 
@@ -62,6 +64,37 @@ def test_sharded_train_matches_single():
                                np.asarray(s2.params.texture), atol=1e-5)
 
 
+def test_sharded_pallas_matches_single():
+    """The fast path: Pallas v4 kernels (interpret mode on CPU) under
+    shard_map — train step and eval render must match the single-device
+    Pallas path (VERDICT r1 item 1)."""
+    cfg = dataclasses.replace(CFG, renderer="pallas_interpret",
+                              tile_h=16, tile_w=8)
+    h, w = 128, 48   # band_h=16 per device: single-hop SSIM halo
+    state, tx, cam = setup(cfg=cfg, h=h, w=w)
+    mesh = Mesh(np.array(jax.devices()), ("tile",))
+
+    bg = jnp.zeros(3)
+    rfn = shard.make_sharded_render(cfg, mesh, h, w)
+    rgb_sharded = rfn(state, cam, bg)
+    rgb_single = model.render(cfg, state.params, state.buffers, cam,
+                              state.step, bg, eval_only=True)["rgb"]
+    np.testing.assert_allclose(np.asarray(rgb_sharded),
+                               np.asarray(rgb_single), atol=1e-5)
+
+    gt = jnp.clip(rgb_single + 0.03, 0, 1)
+    sfn_single = train_step.make_train_step(cfg, tx)
+    s1, m1 = sfn_single(state, cam, gt)
+    state2, tx2, _ = setup(cfg=cfg, h=h, w=w)
+    sfn_sharded = shard.make_sharded_train_step(cfg, tx2, mesh, h, w)
+    s2, m2 = sfn_sharded(state2, cam, gt)
+    assert abs(float(m1["loss"]) - float(m2["loss"])) < 1e-5
+    np.testing.assert_allclose(np.asarray(s1.params.means),
+                               np.asarray(s2.params.means), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(s1.params.texture),
+                               np.asarray(s2.params.texture), atol=1e-5)
+
+
 def test_sharded_scan_matches_sharded_steps():
     """Scanned multi-chip training == the same sequence of sharded steps."""
     from gstex_tpu.ops.camera import stack_cameras
@@ -88,6 +121,42 @@ def test_sharded_scan_matches_sharded_steps():
     np.testing.assert_allclose(np.asarray(s_scan.params.means),
                                np.asarray(s_seq.params.means), atol=1e-6)
     assert int(s_scan.step) == n
+
+
+def test_batch_sharded_matches_mean_grads():
+    """Camera-batch DP on a 2-D (data=2, tile=4) mesh (VERDICT r1 item 9):
+    one batched step == one optimizer update from the MEAN of the two
+    cameras' single-device gradients (the reference's DDP semantics,
+    ``scripts/train.py:204-209``)."""
+    from gstex_tpu.ops.camera import stack_cameras
+
+    state, tx, _ = setup()
+    cams = [orbit_camera(H, W, dist=3.0, azimuth=0.3 * i) for i in range(2)]
+    gts = [jnp.full((H, W, 3), 0.2 + 0.3 * i) for i in range(2)]
+    bg = jnp.zeros(3)
+
+    def loss_i(params, cam, gt):
+        out = model.render(CFG, params, state.buffers, cam, state.step, bg)
+        total, _ = model.loss_fn(CFG, out, gt, state.step)
+        return total
+
+    grads = [jax.grad(loss_i)(state.params, cams[i], gts[i])
+             for i in range(2)]
+    gmean = jax.tree.map(lambda a, b: 0.5 * (a + b), *grads)
+    updates, _ = tx.update(gmean, state.opt_state, state.params)
+    import optax
+
+    params_ref = optax.apply_updates(state.params, updates)
+
+    mesh = Mesh(np.array(jax.devices()).reshape(2, 4), ("data", "tile"))
+    bfn = shard.make_batch_sharded_train_step(CFG, tx, mesh, H, W)
+    s2, m2 = bfn(state, stack_cameras(cams), jnp.stack(gts))
+    np.testing.assert_allclose(np.asarray(s2.params.means),
+                               np.asarray(params_ref.means), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(s2.params.texture),
+                               np.asarray(params_ref.texture), atol=1e-5)
+    assert np.isfinite(float(m2["loss"]))
+    assert int(s2.step) == 1
 
 
 def test_trainer_multidevice(tmp_path):
