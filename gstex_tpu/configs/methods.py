@@ -34,7 +34,7 @@ class MethodConfig:
     eval_interval: int = 8
 
 
-def _blender(name, iters, pixel_num=1e6, xyz_mult=1.0, chart_pad=(8, 8)):
+def _blender(name, iters, pixel_num=1e6, xyz_mult=1.0, chart_pad=None):
     return MethodConfig(
         name=name,
         dataparser="blender",
@@ -46,7 +46,7 @@ def _blender(name, iters, pixel_num=1e6, xyz_mult=1.0, chart_pad=(8, 8)):
     )
 
 
-def _dtu(name, iters, pixel_num=1e6, xyz_mult=1.0, chart_pad=(8, 8)):
+def _dtu(name, iters, pixel_num=1e6, xyz_mult=1.0, chart_pad=None):
     return MethodConfig(
         name=name,
         dataparser="nerfstudio",
@@ -59,6 +59,15 @@ def _dtu(name, iters, pixel_num=1e6, xyz_mult=1.0, chart_pad=(8, 8)):
         eval_mode="interval",
         eval_interval=8,
     )
+
+
+def auto_renderer() -> str:
+    """Default renderer tier for the current backend: the fused Pallas
+    kernels on TPU (the CUDA-rasterizer analog — the reference always runs
+    its native kernels on GPU), the XLA tier elsewhere (CPU oracle)."""
+    import jax
+
+    return "pallas" if jax.default_backend() == "tpu" else "xla"
 
 
 def get_method(name: str) -> MethodConfig:

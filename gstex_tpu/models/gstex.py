@@ -64,7 +64,14 @@ class GStexConfig:
     num_downscales: int = 0        # start at 1/2^d resolution (gstex.py:180)
     resolution_schedule: int = 250  # double every n steps (gstex.py:176)
     # TPU-specific
-    chart_pad: tuple[int, int] = (8, 8)   # dense chart padding (Ch, Cw)
+    # dense chart padding (Ch, Cw); None = auto-size from the scene's true
+    # (unclamped) chart-dimension distribution at init (resolve_chart_pad)
+    chart_pad: Optional[tuple[int, int]] = (8, 8)
+    chart_pad_max: tuple[int, int] = (128, 128)  # auto-pad hard ceiling
+    chart_pad_headroom: float = 1.25   # auto-pad growth slack for recharts
+    # dense texture storage budget (bytes) for the auto pad: at large N a
+    # heavy scale tail would otherwise blow up (N, Ch, Cw, 3) storage
+    chart_mem_budget: float = 2e9
     tile_h: int = 32
     tile_w: int = 32
     pair_cap: int = 1 << 20
@@ -97,19 +104,55 @@ def active_sh_degree(cfg: GStexConfig, step):
 # chart budgeting (build_charts, gstex.py:841-888)
 # ---------------------------------------------------------------------------
 
+def resolve_chart_pad(cfg: GStexConfig, log_scales: jax.Array
+                      ) -> tuple[int, int]:
+    """Scene-adaptive dense chart pad: run the texel-budget search with NO
+    dim clamp, take the max resulting (h, w) with rechart headroom, round up
+    to a multiple of 8, and cap at ``chart_pad_max``.
+
+    This is what makes the reference's arbitrary-size jagged charts
+    (``jagged_texture.py:36-43``; LOD configs need charts ~88x88,
+    ``scripts/blender_lod.py:26`` with pixel_num=1e6 over 128 Gaussians)
+    reachable in the static-shape dense layout: the pad is chosen per scene
+    at init, large enough that the budget clamp never bites.
+    """
+    big = (100000, 100000)   # effectively unclamped search
+    hw, _, _ = build_charts(cfg, log_scales, pad=big)
+    h = float(jnp.max(hw[:, 0])) * cfg.chart_pad_headroom
+    w = float(jnp.max(hw[:, 1])) * cfg.chart_pad_headroom
+    # dense storage budget: shrink the pad (aspect-preserving) until
+    # N*Ch*Cw*3*4 bytes fits chart_mem_budget — the tail then clamps (the
+    # budget search compensates, like the reference's global scale would)
+    n = log_scales.shape[0]
+    area_cap = cfg.chart_mem_budget / (n * 12.0)
+    if h * w > area_cap:
+        sc = float(np.sqrt(area_cap / (h * w)))
+        h, w = max(h * sc, 1.0), max(w * sc, 1.0)
+    rnd = lambda v: max(8, -(-int(np.ceil(v)) // 8) * 8)
+    return (min(rnd(h), cfg.chart_pad_max[0]),
+            min(rnd(w), cfg.chart_pad_max[1]))
+
+
 def build_charts(cfg: GStexConfig, log_scales: jax.Array,
                  update_pixel_scale: bool = True,
-                 pixel_scale: Optional[jax.Array] = None):
+                 pixel_scale: Optional[jax.Array] = None,
+                 pad: Optional[tuple[int, int]] = None):
     """Binary-search the global texel scale so Σ ceil(σf·l0/s)·ceil(σf·l1/s)
     hits the ``pixel_num`` budget within 0.1%, then derive per-Gaussian chart
     dims and uv mappings (``gstex.py:841-888``). Chart dims are additionally
-    clamped to the dense pad (DESIGN.md deviation; budget-neutral via the
-    clamped score).
+    clamped to the dense storage pad ``pad`` (DESIGN.md deviation;
+    budget-neutral via the clamped score; with an auto-resolved pad the
+    clamp never bites at init).
 
     Returns (texture_hw (N,2) int32, mappings (N,2), pixel_scale ()).
     """
     sf = cfg.sigma_factor
-    ch, cw = cfg.chart_pad
+    if pad is None:
+        pad = cfg.chart_pad
+        if pad is None:
+            raise ValueError("build_charts needs an explicit pad when "
+                             "cfg.chart_pad is auto (None)")
+    ch, cw = pad
     l0, l1 = activate_scales(jax.lax.stop_gradient(log_scales))
     target = float(cfg.pixel_num)
 
@@ -133,6 +176,13 @@ def build_charts(cfg: GStexConfig, log_scales: jax.Array,
     if update_pixel_scale or pixel_scale is None:
         lo = jnp.float32(10.0)
         hi = jnp.sqrt(jnp.sum(sf * sf * l0 * l1) / target)
+        # the closed-form hi ignores ceil() and the pad clamp: when the clamp
+        # binds (e.g. auto pad capped at chart_pad_max), score(hi) can fall
+        # short and the true solution lies below — expand the bracket until
+        # hi yields enough texels (or the pad capacity ceiling is hit)
+        hi = jax.lax.while_loop(
+            lambda s: jnp.logical_and(score(s) < target, s > 1e-8),
+            lambda s: s * 0.5, hi)
         tol = 1e-3
 
         def body(i, carry):
@@ -182,8 +232,10 @@ def resample_charts(texture: jax.Array, old_hw: jax.Array,
 def rechart(cfg: GStexConfig, params: GStexParams, buffers: GStexBuffers):
     """The every-100-steps retexture callback (``gstex.py:890-895``):
     re-budget charts, resample the texture, refresh mappings. Shapes are
-    static — no realloc, no recompilation."""
-    new_hw, mappings, scale = build_charts(cfg, params.log_scales)
+    static — no realloc, no recompilation. Dims clamp to the texture's
+    actual storage pad (auto-resolved with headroom at init)."""
+    new_hw, mappings, scale = build_charts(
+        cfg, params.log_scales, pad=params.texture.shape[1:3])
     new_texture = resample_charts(params.texture, buffers.texture_hw, new_hw)
     params = params._replace(texture=new_texture)
     buffers = buffers._replace(texture_hw=new_hw, mappings=mappings,
@@ -211,8 +263,11 @@ def init_params(
     features_dc into the 1×1 charts, then ``build_charts`` resamples — which
     replicates the dc across the chart)."""
     n = means.shape[0]
-    ch, cw = cfg.chart_pad
-    hw, mappings, scale = build_charts(cfg, log_scales2)
+    pad = cfg.chart_pad
+    if pad is None:
+        pad = resolve_chart_pad(cfg, jnp.asarray(log_scales2, jnp.float32))
+    ch, cw = pad
+    hw, mappings, scale = build_charts(cfg, log_scales2, pad=pad)
     texture = jnp.zeros((n, ch, cw, 3), jnp.float32)
     # dc replicated across each active chart (what resampling a 1-texel chart
     # produces in the reference)

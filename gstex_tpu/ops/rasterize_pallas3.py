@@ -137,10 +137,13 @@ def _dot_cols(cols, rhs):
                                preferred_element_type=jnp.float32)
 
 
-def _bil_weights(coord_row, size_row, cap):
-    """(cap, pix) separable bilinear weights for one splat's (1,pix) coords."""
+def _bil_weights(coord_row, size_row, cap, off=0):
+    """(cap, pix) separable bilinear weights for one splat's (1,pix) coords.
+    ``off`` shifts the texel-row window (multi-block chart heights, v4)."""
     x = jnp.clip(coord_row, 0.0, size_row - 1.0)
     a = _row_iota((cap, coord_row.shape[-1])).astype(jnp.float32)
+    if off:
+        a = a + off
     return jnp.maximum(0.0, 1.0 - jnp.abs(x - a))
 
 

@@ -45,6 +45,54 @@ from .rasterize_pallas3 import (_bil_weights, _cumprod_incl, _cumsum_excl,
 
 CHUNK = 16
 
+# --------------------------------------------------------------------------
+# multi-block chart packing: charts taller than 40 texels cannot pack their
+# 3*ch channel-major lanes into one 128-lane tile, so the height axis is
+# split into H_SUB-row blocks, each its own (cw_blk, 3*H_SUB lanes) slab in
+# the table (h-block-major rows per gaussian). This is what makes the
+# reference's arbitrary-size charts (``jagged_texture.py:36-43``; LOD
+# configs need ~88x88) reachable — fetch/grad loops iterate the static
+# n_hb block count, which is 1 for charts <= 40 tall (the common case,
+# code path unchanged).
+# --------------------------------------------------------------------------
+H_SUB = 32   # h rows per block in multi-block mode (3*32=96 lanes of 128)
+
+
+def _ch_blk_of(ch):
+    """Storage-padded chart height: multiple of 8 while single-block,
+    multiple of H_SUB beyond the one-lane-tile cap."""
+    blk = -(-ch // 8) * 8
+    if 3 * blk <= 128:
+        return blk
+    return -(-ch // H_SUB) * H_SUB
+
+
+def _chart_blocks(ch_blk):
+    """(hsub, n_hb): rows per h-block and block count."""
+    if 3 * ch_blk <= 128:
+        return ch_blk, 1
+    assert ch_blk % H_SUB == 0
+    return H_SUB, ch_blk // H_SUB
+
+
+def pack_charts_v4(texture: jax.Array) -> jax.Array:
+    """(N, Ch, Cw, 3) -> (N, n_hb*Cw', 128): per-gaussian h-block-major
+    slabs, each (Cw', 3*hsub) c-major lanes padded to 128. Equals
+    ``pack_charts_cmajor`` when the chart fits one lane tile (n_hb=1)."""
+    n, ch, cw, c = texture.shape
+    ch_blk = _ch_blk_of(ch)
+    hsub, n_hb = _chart_blocks(ch_blk)
+    cw_blk = -(-cw // 8) * 8
+    t = jnp.pad(texture,
+                ((0, 0), (0, ch_blk - ch), (0, cw_blk - cw), (0, 0)))
+    t = t.reshape(n, n_hb, hsub, cw_blk, 3).transpose(0, 1, 3, 4, 2)
+    t = t.reshape(n, n_hb, cw_blk, 3 * hsub)
+    from .rasterize_pallas import CH3_PAD as _pad128
+
+    t = jnp.pad(t, ((0, 0), (0, 0), (0, 0), (0, _pad128 - 3 * hsub)))
+    return t.reshape(n, n_hb * cw_blk, _pad128)
+
+
 import os as _os
 
 _DEBUG_SKIP = _os.environ.get("GSTEX_PALLAS_SKIP", "")  # dev perf probes
@@ -153,6 +201,8 @@ def _fwd_kernel4(grid: TileGrid, s_max: int, ch_blk, cw_blk, counts_ref,
                  cam_ref, records_ref, ids_ref, table_ref, out_ref,
                  ncontrib_ref, ids_smem, chart_buf, chart_sem, ids_sem):
     t = pl.program_id(0)
+    hsub, n_hb = _chart_blocks(ch_blk)
+    g_rows = n_hb * cw_blk
     pix = grid.tile_h * grid.tile_w
     pr = pix // 128
     count = counts_ref[t]
@@ -168,7 +218,7 @@ def _fwd_kernel4(grid: TileGrid, s_max: int, ch_blk, cw_blk, counts_ref,
 
     @pl.when(n_chunks > 0)
     def _():
-        _chunk_dma_start(table_ref, ids_smem, cw_blk, chart_buf, chart_sem,
+        _chunk_dma_start(table_ref, ids_smem, g_rows, chart_buf, chart_sem,
                          jnp.int32(0), jnp.int32(0))
 
     zrow = jnp.zeros((1, pix), jnp.float32)
@@ -187,10 +237,10 @@ def _fwd_kernel4(grid: TileGrid, s_max: int, ch_blk, cw_blk, counts_ref,
 
         @pl.when(c + 1 < n_chunks)
         def _():
-            _chunk_dma_start(table_ref, ids_smem, cw_blk, chart_buf,
+            _chunk_dma_start(table_ref, ids_smem, g_rows, chart_buf,
                              chart_sem, c + 1, jax.lax.rem(c + 1, 2))
 
-        _chunk_dma_wait(table_ref, ids_smem, cw_blk, chart_buf, chart_sem,
+        _chunk_dma_wait(table_ref, ids_smem, g_rows, chart_buf, chart_sem,
                         c, slot)
 
         base = pl.multiple_of(c * CHUNK, CHUNK)
@@ -250,18 +300,21 @@ def _fwd_kernel4(grid: TileGrid, s_max: int, ch_blk, cw_blk, counts_ref,
         # 1/8 sublane utilization on the VPU — avoid them in the loop.
         h_c = _rep(chunk[:, 26:27], pix)
         w_c = _rep(chunk[:, 27:28], pix)
-        tex = [jnp.zeros((ch_blk, pix), jnp.float32) for _ in range(3)]
+        cg = _cg_lanes(hsub)
+        tex = [jnp.zeros((hsub, pix), jnp.float32) for _ in range(3)]
         ks_fetch = [] if "fetch" in _DEBUG_SKIP else list(range(CHUNK))
         for k in ks_fetch:
-            wx = _bil_weights(r["uv_u"][k:k + 1, :] * h_c[k:k + 1, :],
-                              h_c[k:k + 1, :], ch_blk) * w[k:k + 1, :]
             wy = _bil_weights(r["uv_v"][k:k + 1, :] * w_c[k:k + 1, :],
                               w_c[k:k + 1, :], cw_blk)
-            cg = _cg_lanes(ch_blk)
-            chart_k = cb[k * cw_blk:(k + 1) * cw_blk, 0:cg]  # (cw, cg)
-            tmp = _dot_cols(chart_k, wy)                     # (cg, P)
-            for ci in range(3):
-                tex[ci] = tex[ci] + wx * tmp[ci * ch_blk:(ci + 1) * ch_blk, :]
+            for b in range(n_hb):
+                wx = _bil_weights(r["uv_u"][k:k + 1, :] * h_c[k:k + 1, :],
+                                  h_c[k:k + 1, :], hsub,
+                                  off=b * hsub) * w[k:k + 1, :]
+                u = k * n_hb + b
+                chart_kb = cb[u * cw_blk:(u + 1) * cw_blk, 0:cg]  # (cw, cg)
+                tmp = _dot_cols(chart_kb, wy)                     # (cg, P)
+                for ci in range(3):
+                    tex[ci] = tex[ci] + wx * tmp[ci * hsub:(ci + 1) * hsub, :]
 
         new_acc = dict(acc)
         new_acc["img0"] = acc["img0"] + img_d[0:1, :]
@@ -284,7 +337,7 @@ def _fwd_kernel4(grid: TileGrid, s_max: int, ch_blk, cw_blk, counts_ref,
 
     @pl.when(c_final < n_chunks)
     def _():
-        _chunk_dma_wait(table_ref, ids_smem, cw_blk, chart_buf, chart_sem,
+        _chunk_dma_wait(table_ref, ids_smem, g_rows, chart_buf, chart_sem,
                         c_final, jax.lax.rem(c_final, 2))
 
     for i, name in enumerate(CH_NAMES):
@@ -295,8 +348,9 @@ def _fwd_kernel4(grid: TileGrid, s_max: int, ch_blk, cw_blk, counts_ref,
 def rasterize_pallas4_fwd(grid: TileGrid, chart_pad, inputs: PallasInputs4,
                           table: jax.Array, interpret: bool = False):
     num_tiles, s_max, f = inputs.records_t.shape
-    ch_blk = -(-chart_pad[0] // 8) * 8
+    ch_blk = _ch_blk_of(chart_pad[0])
     cw_blk = -(-chart_pad[1] // 8) * 8
+    g_rows = _chart_blocks(ch_blk)[1] * cw_blk
     pr = grid.tile_h * grid.tile_w // 128
     kernel = functools.partial(_fwd_kernel4, grid, s_max, ch_blk, cw_blk)
     grid_spec = pltpu.PrefetchScalarGridSpec(
@@ -313,7 +367,7 @@ def rasterize_pallas4_fwd(grid: TileGrid, chart_pad, inputs: PallasInputs4,
         ],
         scratch_shapes=[
             pltpu.SMEM((_ids_pad(s_max),), jnp.int32),
-            pltpu.VMEM((2, CHUNK * cw_blk, CH3_PAD), jnp.float32),
+            pltpu.VMEM((2, CHUNK * g_rows, CH3_PAD), jnp.float32),
             pltpu.SemaphoreType.DMA((2,)),
             pltpu.SemaphoreType.DMA,
         ],
@@ -361,6 +415,8 @@ def _eval_kernel4(grid: TileGrid, s_max: int, ch_blk, cw_blk, counts_ref,
                   cam_ref, records_ref, ids_ref, table_ref, out_ref,
                   ids_smem, chart_buf, chart_sem, ids_sem):
     t = pl.program_id(0)
+    hsub, n_hb = _chart_blocks(ch_blk)
+    g_rows = n_hb * cw_blk
     pix = grid.tile_h * grid.tile_w
     pr = pix // 128
     count = counts_ref[t]
@@ -376,7 +432,7 @@ def _eval_kernel4(grid: TileGrid, s_max: int, ch_blk, cw_blk, counts_ref,
 
     @pl.when(n_chunks > 0)
     def _():
-        _chunk_dma_start(table_ref, ids_smem, cw_blk, chart_buf, chart_sem,
+        _chunk_dma_start(table_ref, ids_smem, g_rows, chart_buf, chart_sem,
                          jnp.int32(0), jnp.int32(0))
 
     zrow = jnp.zeros((1, pix), jnp.float32)
@@ -393,10 +449,10 @@ def _eval_kernel4(grid: TileGrid, s_max: int, ch_blk, cw_blk, counts_ref,
 
         @pl.when(c + 1 < n_chunks)
         def _():
-            _chunk_dma_start(table_ref, ids_smem, cw_blk, chart_buf,
+            _chunk_dma_start(table_ref, ids_smem, g_rows, chart_buf,
                              chart_sem, c + 1, jax.lax.rem(c + 1, 2))
 
-        _chunk_dma_wait(table_ref, ids_smem, cw_blk, chart_buf, chart_sem,
+        _chunk_dma_wait(table_ref, ids_smem, g_rows, chart_buf, chart_sem,
                         c, slot)
 
         base = pl.multiple_of(c * CHUNK, CHUNK)
@@ -426,17 +482,20 @@ def _eval_kernel4(grid: TileGrid, s_max: int, ch_blk, cw_blk, counts_ref,
         # chunk (see the train kernel's fetch note)
         h_c = _rep(chunk[:, 26:27], pix)
         w_c = _rep(chunk[:, 27:28], pix)
-        tex = [jnp.zeros((ch_blk, pix), jnp.float32) for _ in range(3)]
+        cg = _cg_lanes(hsub)
+        tex = [jnp.zeros((hsub, pix), jnp.float32) for _ in range(3)]
         for k in range(CHUNK):
-            wx = _bil_weights(r["uv_u"][k:k + 1, :] * h_c[k:k + 1, :],
-                              h_c[k:k + 1, :], ch_blk) * w[k:k + 1, :]
             wy = _bil_weights(r["uv_v"][k:k + 1, :] * w_c[k:k + 1, :],
                               w_c[k:k + 1, :], cw_blk)
-            cg = _cg_lanes(ch_blk)
-            chart_k = cb[k * cw_blk:(k + 1) * cw_blk, 0:cg]  # (cw, cg)
-            tmp = _dot_cols(chart_k, wy)                     # (cg, P)
-            for ci in range(3):
-                tex[ci] = tex[ci] + wx * tmp[ci * ch_blk:(ci + 1) * ch_blk, :]
+            for b in range(n_hb):
+                wx = _bil_weights(r["uv_u"][k:k + 1, :] * h_c[k:k + 1, :],
+                                  h_c[k:k + 1, :], hsub,
+                                  off=b * hsub) * w[k:k + 1, :]
+                u = k * n_hb + b
+                chart_kb = cb[u * cw_blk:(u + 1) * cw_blk, 0:cg]  # (cw, cg)
+                tmp = _dot_cols(chart_kb, wy)                     # (cg, P)
+                for ci in range(3):
+                    tex[ci] = tex[ci] + wx * tmp[ci * hsub:(ci + 1) * hsub, :]
 
         new_acc = dict(acc)
         new_acc["img0"] = acc["img0"] + img_d[0:1, :]
@@ -453,7 +512,7 @@ def _eval_kernel4(grid: TileGrid, s_max: int, ch_blk, cw_blk, counts_ref,
 
     @pl.when(c_final < n_chunks)
     def _():
-        _chunk_dma_wait(table_ref, ids_smem, cw_blk, chart_buf, chart_sem,
+        _chunk_dma_wait(table_ref, ids_smem, g_rows, chart_buf, chart_sem,
                         c_final, jax.lax.rem(c_final, 2))
 
     for i, name in enumerate(ECH_NAMES):
@@ -464,8 +523,9 @@ def rasterize_pallas4_eval(grid: TileGrid, chart_pad, inputs: PallasInputs4,
                            table: jax.Array, interpret: bool = False):
     """Forward-only render: {img,tex}x3 + depth + alpha maps, no residuals."""
     num_tiles, s_max, f = inputs.records_t.shape
-    ch_blk = -(-chart_pad[0] // 8) * 8
+    ch_blk = _ch_blk_of(chart_pad[0])
     cw_blk = -(-chart_pad[1] // 8) * 8
+    g_rows = _chart_blocks(ch_blk)[1] * cw_blk
     pr = grid.tile_h * grid.tile_w // 128
     kernel = functools.partial(_eval_kernel4, grid, s_max, ch_blk, cw_blk)
     grid_spec = pltpu.PrefetchScalarGridSpec(
@@ -481,7 +541,7 @@ def rasterize_pallas4_eval(grid: TileGrid, chart_pad, inputs: PallasInputs4,
         ],
         scratch_shapes=[
             pltpu.SMEM((_ids_pad(s_max),), jnp.int32),
-            pltpu.VMEM((2, CHUNK * cw_blk, CH3_PAD), jnp.float32),
+            pltpu.VMEM((2, CHUNK * g_rows, CH3_PAD), jnp.float32),
             pltpu.SemaphoreType.DMA((2,)),
             pltpu.SemaphoreType.DMA,
         ],
@@ -505,15 +565,17 @@ def rasterize_pallas4_eval(grid: TileGrid, chart_pad, inputs: PallasInputs4,
             for i, name in enumerate(ECH_NAMES)}
 
 
-def _bwd_kernel4(grid: TileGrid, s_max: int, ch_blk, cw_blk, counts_ref,
-                 cam_ref, records_ref, ids_ref, table_ref, fwdout_ref,
-                 ncon_ref, gmaps_ref, drec_ref, dchart_ref, ids_smem, tex_s,
-                 dx_s, dy_s, chart_buf, chart_sem, ids_sem):
+def _bwd_kernel4(grid: TileGrid, s_max: int, ch_blk, cw_blk, tile0_ref,
+                 counts_ref, cam_ref, records_ref, ids_ref, table_ref,
+                 fwdout_ref, ncon_ref, gmaps_ref, drec_ref, dchart_ref,
+                 ids_smem, tex_s, dx_s, dy_s, chart_buf, chart_sem, ids_sem):
     t = pl.program_id(0)
     pix = grid.tile_h * grid.tile_w
     pr = pix // 128
     count = counts_ref[t]
-    gx, gy, dirs = _pixel_rows(grid, t, cam_ref)
+    # tile0: global index of this batch's first tile (the tile-batched
+    # backward slices the tile axis; pixel coords need the global tile)
+    gx, gy, dirs = _pixel_rows(grid, t + tile0_ref[0], cam_ref)
     d0, d1, d2 = dirs
     k_iota = _row_iota((CHUNK, pix))
 
@@ -522,10 +584,12 @@ def _bwd_kernel4(grid: TileGrid, s_max: int, ch_blk, cw_blk, counts_ref,
                          _ids_pad(s_max))], ids_smem, ids_sem)
     ids_cp.start()
 
-    cg = _cg_lanes(ch_blk)
+    hsub, n_hb = _chart_blocks(ch_blk)
+    g_rows = n_hb * cw_blk
+    cg = _cg_lanes(hsub)
     pack_n = CH3_PAD // cg
     drec_ref[0] = jnp.zeros((s_max, F_REC), jnp.float32)
-    dchart_ref[0] = jnp.zeros((s_max // pack_n * cw_blk, CH3_PAD),
+    dchart_ref[0] = jnp.zeros((s_max * n_hb // pack_n * cw_blk, CH3_PAD),
                               jnp.float32)
 
     def fwd_ch(name):
@@ -555,7 +619,7 @@ def _bwd_kernel4(grid: TileGrid, s_max: int, ch_blk, cw_blk, counts_ref,
 
     @pl.when(n_chunks > 0)
     def _():
-        _chunk_dma_start(table_ref, ids_smem, cw_blk, chart_buf, chart_sem,
+        _chunk_dma_start(table_ref, ids_smem, g_rows, chart_buf, chart_sem,
                          n_chunks - 1, jax.lax.rem(n_chunks - 1, 2))
 
     zrow = jnp.zeros((1, pix), jnp.float32)
@@ -570,10 +634,10 @@ def _bwd_kernel4(grid: TileGrid, s_max: int, ch_blk, cw_blk, counts_ref,
 
         @pl.when(c - 1 >= 0)
         def _():
-            _chunk_dma_start(table_ref, ids_smem, cw_blk, chart_buf,
+            _chunk_dma_start(table_ref, ids_smem, g_rows, chart_buf,
                              chart_sem, c - 1, jax.lax.rem(c - 1, 2))
 
-        _chunk_dma_wait(table_ref, ids_smem, cw_blk, chart_buf, chart_sem,
+        _chunk_dma_wait(table_ref, ids_smem, g_rows, chart_buf, chart_sem,
                         c, slot)
 
         base = pl.multiple_of(c * CHUNK, CHUNK)
@@ -608,14 +672,16 @@ def _bwd_kernel4(grid: TileGrid, s_max: int, ch_blk, cw_blk, counts_ref,
         big_c = m1_tot - wm - d_k
         d_m = 2.0 * g_reg * w * (big_a - e_k)
 
-        # --- per-splat texel fetch + chart grads (static python loop) ---
+        # --- per-splat texel fetch + chart grads (static python loop;
+        # inner loop over the n_hb chart h-blocks, n_hb=1 for charts <= 40
+        # tall) ---
         h_c = _rep(chunk[:, 26:27], pix)
         w_c = _rep(chunk[:, 27:28], pix)
         x_raw_all = r["uv_u"] * h_c
         y_raw_all = r["uv_v"] * w_c
-        a_io = _row_iota((ch_blk, pix)).astype(jnp.float32)
+        a_io = _row_iota((hsub, pix)).astype(jnp.float32)
         b_io = _row_iota((cw_blk, pix)).astype(jnp.float32)
-        pad_rows = cg - 3 * ch_blk
+        pad_rows = cg - 3 * hsub
         d_chart_grp = []
         ks_fetch = [] if "fetch" in _DEBUG_SKIP else list(range(CHUNK))
         for k in ks_fetch:
@@ -625,50 +691,61 @@ def _bwd_kernel4(grid: TileGrid, s_max: int, ch_blk, cw_blk, counts_ref,
             y_raw = y_raw_all[k:k + 1, :]
             xg = jnp.clip(x_raw, 0.0, h_g - 1.0)
             yg = jnp.clip(y_raw, 0.0, w_g - 1.0)
-            wx = jnp.maximum(0.0, 1.0 - jnp.abs(xg - a_io))  # (ch, P)
             wy = jnp.maximum(0.0, 1.0 - jnp.abs(yg - b_io))  # (cw, P)
-            chart_k = cb[k * cw_blk:(k + 1) * cw_blk, 0:cg]  # (cw, cg)
-            tmp = _dot_cols(chart_k, wy)                     # (cg, P)
-
-            wk = w[k:k + 1, :]
-            wxk = wx * wk          # blend weight folded once, (ch, P)
-            m2 = jnp.concatenate(
-                [wxk * g_tex[ci] for ci in range(3)]
-                + [jnp.zeros((pad_rows, pix), jnp.float32)], axis=0)
-            d_chart_grp.append(jax.lax.dot_general(
-                wy, m2, (((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32))         # (cw, cg)
-            if len(d_chart_grp) == pack_n:
-                g_idx = k // pack_n
-                blk = jnp.concatenate(d_chart_grp, axis=1)   # (cw, 128)
-                cbase = pl.multiple_of(
-                    (c * CHUNK // pack_n + g_idx) * cw_blk, 8)
-                dchart_ref[0, pl.ds(cbase, cw_blk), :] = blk
-                d_chart_grp = []
-
-            # coeff without wk (row-independent): multiply wk after the
-            # row reduction instead of on every (ch, P) row
-            coeff = (g_tex[0] * tmp[0 * ch_blk:1 * ch_blk, :]
-                     + g_tex[1] * tmp[1 * ch_blk:2 * ch_blk, :]
-                     + g_tex[2] * tmp[2 * ch_blk:3 * ch_blk, :])
-            dfx = xg - a_io
-            dwx_dx = jnp.where(jnp.abs(dfx) <= 1.0, -jnp.sign(dfx), 0.0)
-
-            d_wy = jax.lax.dot_general(
-                chart_k, m2, (((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32)          # (cw, P)
-
             dfy = yg - b_io
             dwy_dy = jnp.where(jnp.abs(dfy) <= 1.0, -jnp.sign(dfy), 0.0)
+            wk = w[k:k + 1, :]
+            coeff_dx = jnp.zeros((1, pix), jnp.float32)
+            d_wy = jnp.zeros((cw_blk, pix), jnp.float32)
+            texk = [jnp.zeros((1, pix), jnp.float32) for _ in range(3)]
+            for b in range(n_hb):
+                a_b = a_io + b * hsub
+                wx = jnp.maximum(0.0, 1.0 - jnp.abs(xg - a_b))   # (hsub, P)
+                u = k * n_hb + b
+                chart_kb = cb[u * cw_blk:(u + 1) * cw_blk, 0:cg]  # (cw, cg)
+                tmp = _dot_cols(chart_kb, wy)                     # (cg, P)
+
+                wxk = wx * wk      # blend weight folded once, (hsub, P)
+                m2 = jnp.concatenate(
+                    [wxk * g_tex[ci] for ci in range(3)]
+                    + [jnp.zeros((pad_rows, pix), jnp.float32)], axis=0)
+                d_chart_grp.append(jax.lax.dot_general(
+                    wy, m2, (((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32))          # (cw, cg)
+                if len(d_chart_grp) == pack_n:
+                    g_idx = u // pack_n
+                    if pack_n * cg < CH3_PAD:   # e.g. cg=96 multi-block
+                        d_chart_grp.append(jnp.zeros(
+                            (cw_blk, CH3_PAD - pack_n * cg), jnp.float32))
+                    blk = jnp.concatenate(d_chart_grp, axis=1)    # (cw, 128)
+                    cbase = pl.multiple_of(
+                        (c * CHUNK * n_hb // pack_n + g_idx) * cw_blk, 8)
+                    dchart_ref[0, pl.ds(cbase, cw_blk), :] = blk
+                    d_chart_grp = []
+
+                # coeff without wk (row-independent): multiply wk after
+                # the row reduction instead of on every (hsub, P) row
+                coeff = (g_tex[0] * tmp[0 * hsub:1 * hsub, :]
+                         + g_tex[1] * tmp[1 * hsub:2 * hsub, :]
+                         + g_tex[2] * tmp[2 * hsub:3 * hsub, :])
+                dfx = xg - a_b
+                dwx_dx = jnp.where(jnp.abs(dfx) <= 1.0, -jnp.sign(dfx), 0.0)
+                coeff_dx = coeff_dx + _sum_rows(coeff * dwx_dx)
+
+                d_wy = d_wy + jax.lax.dot_general(
+                    chart_kb, m2, (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32)           # (cw, P)
+                for ci in range(3):
+                    prod = wx * tmp[ci * hsub:(ci + 1) * hsub, :]
+                    texk[ci] = texk[ci] + _sum_rows(prod)
 
             # five per-splat sublane reductions; batching them into one
             # block-ones MXU dot measured 36% SLOWER (16 small 6-pass dots
             # + a 40-row concat per splat lose to the VPU reduces)
-            dx_s[k:k + 1, :] = wk * _sum_rows(coeff * dwx_dx)
+            dx_s[k:k + 1, :] = wk * coeff_dx
             dy_s[k:k + 1, :] = _sum_rows(d_wy * dwy_dy)
             for ci in range(3):
-                prod = wx * tmp[ci * ch_blk:(ci + 1) * ch_blk, :]
-                tex_s[ci, k:k + 1, :] = _sum_rows(prod)
+                tex_s[ci, k:k + 1, :] = texk[ci]
 
         if "fetch" in _DEBUG_SKIP:
             zkp = jnp.zeros((CHUNK, pix), jnp.float32)
@@ -815,37 +892,39 @@ def _bwd_kernel4(grid: TileGrid, s_max: int, ch_blk, cw_blk, counts_ref,
 
 def rasterize_pallas4_bwd(grid: TileGrid, chart_pad, counts, cam_info,
                           records_t, ids, table, fwd_out, ncontrib, gmaps,
-                          interpret: bool = False):
+                          interpret: bool = False, tile0=None):
     num_tiles, s_max, f = records_t.shape
-    ch_blk = -(-chart_pad[0] // 8) * 8
+    ch_blk = _ch_blk_of(chart_pad[0])
     cw_blk = -(-chart_pad[1] // 8) * 8
-    pack_n = CH3_PAD // _cg_lanes(ch_blk)
-    assert s_max % pack_n == 0
+    hsub, n_hb = _chart_blocks(ch_blk)
+    g_rows = n_hb * cw_blk
+    pack_n = CH3_PAD // _cg_lanes(hsub)
+    assert (s_max * n_hb) % pack_n == 0
     pix = grid.tile_h * grid.tile_w
     pr = pix // 128
     kernel = functools.partial(_bwd_kernel4, grid, s_max, ch_blk, cw_blk)
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=2,
+        num_scalar_prefetch=3,
         grid=(num_tiles,),
         in_specs=[
-            pl.BlockSpec((1, s_max, F_REC), lambda t, c, cam: (t, 0, 0)),
+            pl.BlockSpec((1, s_max, F_REC), lambda t, t0, c, cam: (t, 0, 0)),
             pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM),
             pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM),
-            pl.BlockSpec((1, NCH * pr, 128), lambda t, c, cam: (t, 0, 0)),
-            pl.BlockSpec((1, pr, 128), lambda t, c, cam: (t, 0, 0)),
-            pl.BlockSpec((1, NG * pr, 128), lambda t, c, cam: (t, 0, 0)),
+            pl.BlockSpec((1, NCH * pr, 128), lambda t, t0, c, cam: (t, 0, 0)),
+            pl.BlockSpec((1, pr, 128), lambda t, t0, c, cam: (t, 0, 0)),
+            pl.BlockSpec((1, NG * pr, 128), lambda t, t0, c, cam: (t, 0, 0)),
         ],
         out_specs=[
-            pl.BlockSpec((1, s_max, F_REC), lambda t, c, cam: (t, 0, 0)),
-            pl.BlockSpec((1, s_max // pack_n * cw_blk, CH3_PAD),
-                         lambda t, c, cam: (t, 0, 0)),
+            pl.BlockSpec((1, s_max, F_REC), lambda t, t0, c, cam: (t, 0, 0)),
+            pl.BlockSpec((1, s_max * n_hb // pack_n * cw_blk, CH3_PAD),
+                         lambda t, t0, c, cam: (t, 0, 0)),
         ],
         scratch_shapes=[
             pltpu.SMEM((_ids_pad(s_max),), jnp.int32),
             pltpu.VMEM((3, CHUNK, pix), jnp.float32),
             pltpu.VMEM((CHUNK, pix), jnp.float32),
             pltpu.VMEM((CHUNK, pix), jnp.float32),
-            pltpu.VMEM((2, CHUNK * cw_blk, CH3_PAD), jnp.float32),
+            pltpu.VMEM((2, CHUNK * g_rows, CH3_PAD), jnp.float32),
             pltpu.SemaphoreType.DMA((2,)),
             pltpu.SemaphoreType.DMA,
         ],
@@ -856,7 +935,7 @@ def rasterize_pallas4_bwd(grid: TileGrid, chart_pad, counts, cam_info,
         out_shape=[
             jax.ShapeDtypeStruct(records_t.shape, jnp.float32),
             jax.ShapeDtypeStruct(
-                (num_tiles, s_max // pack_n * cw_blk, CH3_PAD),
+                (num_tiles, s_max * n_hb // pack_n * cw_blk, CH3_PAD),
                 jnp.float32),
         ],
         interpret=interpret,
@@ -866,6 +945,8 @@ def rasterize_pallas4_bwd(grid: TileGrid, chart_pad, counts, cam_info,
     )
     ids_flat = jnp.pad(ids, ((0, 0), (0, _ids_pad(s_max) - s_max))
                        ).reshape(-1)
-    d_records, d_charts = bwd_call(counts, cam_info, records_t, ids_flat,
-                                   table, fwd_out, ncontrib, gmaps)
+    if tile0 is None:
+        tile0 = jnp.zeros((1,), jnp.int32)
+    d_records, d_charts = bwd_call(tile0, counts, cam_info, records_t,
+                                   ids_flat, table, fwd_out, ncontrib, gmaps)
     return d_records, d_charts

@@ -91,29 +91,86 @@ def _core4_fwd(grid, chart_pad, interpret, records_t, ids, table, counts,
     return out, (records_t, ids, table, counts, cam_info, out, ncontrib)
 
 
+# working-set cap for the pair-space d_charts buffer: above this the bwd
+# runs in tile batches under lax.scan with the segment reduction folded in
+# (big charts make T*s_max*chart_bytes explode — LOD scenes at 88x88 charts
+# would need ~10 GB in one shot)
+D_CHARTS_BYTES_CAP = 1 << 29   # 512 MB
+
+
+def _reduce_d_charts(d_charts, ids, chart_pad, num_seg):
+    """Pair-space chart grads -> per-gaussian (N, n_hb*cw_blk*cg) grads.
+
+    One segment sum over the tile id lists (conflict-free within a tile by
+    construction). Each (splat, h-block) unit is a (cw, cg) block; d_charts
+    packs pack_n consecutive units per 128-lane block: lane l = i*cg + j
+    holds unit i's channel-lane j. (A transpose-free per-lane-slot reduction
+    was measured 6x SLOWER: scatter cost scales with scattered-row count,
+    and 4 passes of (T*G*cw, 32) rows lose to one pass of wide (T*S, cw*cg)
+    rows despite the 330 MB pack relayout.)
+    """
+    tt, ss = ids.shape
+    ch_blk = rp4._ch_blk_of(chart_pad[0])
+    hsub, n_hb = rp4._chart_blocks(ch_blk)
+    cg = rp4._cg_lanes(hsub)
+    pack_n = d_charts.shape[2] // cg
+    units = ss * n_hb
+    cw_blk = d_charts.shape[1] // (units // pack_n)
+    d_charts = d_charts[..., :pack_n * cg]   # drop flush padding lanes
+    d = d_charts.reshape(tt, units // pack_n, cw_blk, pack_n, cg)
+    # unit-major rows: each splat's n_hb h-block units are consecutive
+    d = d.transpose(0, 1, 3, 2, 4).reshape(tt * ss, n_hb * cw_blk * cg)
+    return jax.ops.segment_sum(d, ids.reshape(-1), num_segments=num_seg)
+
+
 def _core4_bwd(grid, chart_pad, interpret, res, g_out):
     records_t, ids, table, counts, cam_info, out, ncontrib = res
     pr = grid.tile_h * grid.tile_w // 128
     gmaps = g_out[:, : rpb.NG * pr, :]  # cotangents of the 12 real channels
-    d_records, d_charts = rp4.rasterize_pallas4_bwd(
-        grid, chart_pad, counts, cam_info, records_t, ids, table, out,
-        ncontrib, gmaps, interpret=interpret)
-    # pair-space chart grads -> per-gaussian table grads (one segment sum
-    # over the tile id lists; conflict-free within a tile by construction).
-    # d_charts packs pack_n consecutive splats per 128-lane block: lane
-    # l = i*cg + j holds splat i's channel-lane j. (A transpose-free
-    # per-lane-slot reduction was measured 6x SLOWER: scatter cost scales
-    # with scattered-row count, and 4 passes of (T*G*cw, 32) rows lose to
-    # one pass of wide (T*S, cw*cg) rows despite the 330 MB pack relayout.)
     tt, ss = ids.shape
-    ch_blk = -(-chart_pad[0] // 8) * 8
-    cg = rp4._cg_lanes(ch_blk)
-    pack_n = d_charts.shape[2] // cg
-    cw_blk = d_charts.shape[1] // (ss // pack_n)
-    d = d_charts.reshape(tt, ss // pack_n, cw_blk, pack_n, cg)
-    d = d.transpose(0, 1, 3, 2, 4).reshape(tt * ss, cw_blk * cg)
-    d_g = jax.ops.segment_sum(d, ids.reshape(-1),
-                              num_segments=table.shape[0] // cw_blk)
+    ch_blk = rp4._ch_blk_of(chart_pad[0])
+    hsub, n_hb = rp4._chart_blocks(ch_blk)
+    cg = rp4._cg_lanes(hsub)
+    pack_n = rp.CH3_PAD // cg
+    cw_blk = -(-chart_pad[1] // 8) * 8
+    num_seg = table.shape[0] // (n_hb * cw_blk)
+    per_tile = ss * n_hb // pack_n * cw_blk * rp.CH3_PAD * 4
+    n_batch = min(tt, max(1, -(-tt * per_tile // D_CHARTS_BYTES_CAP)))
+
+    if n_batch == 1:
+        d_records, d_charts = rp4.rasterize_pallas4_bwd(
+            grid, chart_pad, counts, cam_info, records_t, ids, table, out,
+            ncontrib, gmaps, interpret=interpret)
+        d_g = _reduce_d_charts(d_charts, ids, chart_pad, num_seg)
+    else:
+        # tile-batched: bound the pair-space d_charts working set; padded
+        # tiles have count=0 (the kernel zero-inits its outputs) so they
+        # contribute nothing to the reduction
+        tb = -(-tt // n_batch)
+        pad_t = n_batch * tb - tt
+        batch = lambda x: jnp.pad(
+            x, ((0, pad_t),) + ((0, 0),) * (x.ndim - 1)).reshape(
+                (n_batch, tb) + x.shape[1:])
+        b_rec, b_ids, b_cnt = batch(records_t), batch(ids), batch(counts)
+        b_out, b_ncon, b_gm = batch(out), batch(ncontrib), batch(gmaps)
+
+        t0s = jnp.arange(n_batch, dtype=jnp.int32) * tb
+
+        def body(acc, xs):
+            t0, rec_b, ids_b, cnt_b, out_b, ncon_b, gm_b = xs
+            d_rec_b, d_ch_b = rp4.rasterize_pallas4_bwd(
+                grid, chart_pad, cnt_b, cam_info, rec_b, ids_b, table,
+                out_b, ncon_b, gm_b, interpret=interpret,
+                tile0=t0.reshape(1))
+            return (acc + _reduce_d_charts(d_ch_b, ids_b, chart_pad,
+                                           num_seg), d_rec_b)
+
+        acc0 = jnp.zeros((num_seg, n_hb * cw_blk * cg), jnp.float32)
+        d_g, d_rec_s = jax.lax.scan(
+            body, acc0, (t0s, b_rec, b_ids, b_cnt, b_out, b_ncon, b_gm))
+        d_records = d_rec_s.reshape((n_batch * tb,) + d_rec_s.shape[2:])
+        d_records = d_records[:tt]
+
     d_g = d_g.reshape(-1, cw_blk, cg)
     d_table = jnp.pad(d_g, ((0, 0), (0, 0), (0, table.shape[1] - cg)))
     d_table = d_table.reshape(table.shape)
@@ -148,7 +205,7 @@ def rasterize_pl_eval(
         raise ValueError("pallas v4 needs tile_h*tile_w to be a multiple of "
                          "128 (pixels are packed onto 128 lanes)")
     pr = grid.tile_h * grid.tile_w // 128
-    packed = rp3.pack_charts_cmajor(texture)
+    packed = rp4.pack_charts_v4(texture)
     table = packed.reshape(-1, packed.shape[-1])
     origin = cam.c2w[:3, 3]
     records = rp.assemble_records(geom, origin, texture_hw)
@@ -195,8 +252,8 @@ def rasterize_pl(
         raise ValueError("pallas v4 needs tile_h*tile_w to be a multiple of "
                          "128 (pixels are packed onto 128 lanes)")
     if version == 4:
-        packed = rp3.pack_charts_cmajor(texture)
-        table = packed.reshape(-1, packed.shape[-1])    # (N*Cw', 128)
+        packed = rp4.pack_charts_v4(texture)
+        table = packed.reshape(-1, packed.shape[-1])    # (N*n_hb*Cw', 128)
         origin = cam.c2w[:3, 3]
         records = rp.assemble_records(geom, origin, texture_hw)
         rec_pairs = records[bins.ids]

@@ -95,6 +95,78 @@ def test_pallas_gradients_match_xla(version):
             assert np.abs(b).max() > 0, f"xla grad {k} all zero"
 
 
+@pytest.mark.parametrize("pad", [(48, 24), (96, 16)])
+def test_pallas_v4_multiblock_charts_match_xla(pad):
+    """Charts taller than one 128-lane tile (3*ch > 128): the v4 multi-block
+    fetch/grad path must match the XLA tier for outputs AND gradients
+    (VERDICT r1 item 2 — un-capped chart sizes; reference charts are
+    arbitrary h*w, ``jagged_texture.py:36-43``)."""
+    scene, cam = setup(n=32, seed=5)
+    ch, cw = pad
+    ks = jax.random.split(jax.random.key(11), 3)
+    scene = dict(scene)
+    scene["texture"] = jax.random.normal(ks[0], (32, ch, cw, 3)) * 0.3
+    hw_h = jax.random.randint(ks[1], (32, 1), minval=41, maxval=ch + 1)
+    hw_w = jax.random.randint(ks[2], (32, 1), minval=1, maxval=cw + 1)
+    scene["texture_hw"] = jnp.concatenate([hw_h, hw_w], -1).astype(jnp.int32)
+
+    prep, bins = prep_and_bins(scene, cam)
+    out_pl = rasterize_pl(prep.geom, scene["texture"], scene["texture_hw"],
+                          bins, cam, GRID, interpret=True, version=4)
+    out_xla = rasterize(prep.geom, scene["texture"], scene["texture_hw"],
+                        bins, cam, GRID)
+    for k in ["img", "texture_rgb", "depth", "alpha", "normal", "reg"]:
+        np.testing.assert_allclose(np.asarray(out_pl[k]),
+                                   np.asarray(out_xla[k]),
+                                   atol=2e-5, rtol=1e-4, err_msg=k)
+    assert float(jnp.abs(out_pl["texture_rgb"]).max()) > 0.01
+
+    ks2 = jax.random.split(jax.random.key(12), 2)
+    cot = {
+        "texture_rgb": jax.random.normal(ks2[0], (H, W, 3)),
+        "img": jax.random.normal(ks2[1], (H, W, 3)),
+    }
+    diff_keys = ["means", "log_scales", "quats", "opacity_logits", "texture"]
+    rest = {k: scene[k] for k in scene if k not in diff_keys}
+    diff = {k: scene[k] for k in diff_keys}
+    pl_fn = lambda g, t, hw, b, c, gr: rasterize_pl(
+        g, t, hw, b, c, gr, interpret=True, version=4)
+    g_pl = jax.grad(lambda d: _loss(pl_fn, {**d, **rest}, cam, cot))(diff)
+    g_xla = jax.grad(lambda d: _loss(rasterize, {**d, **rest}, cam, cot))(diff)
+    for k in diff_keys:
+        a, b = np.asarray(g_pl[k]), np.asarray(g_xla[k])
+        scale = np.abs(b).max() + 1e-8
+        np.testing.assert_allclose(a / scale, b / scale, atol=3e-4,
+                                   err_msg=f"grad {k}")
+        assert np.abs(b).max() > 0, f"xla grad {k} all zero"
+
+
+def test_pallas_v4_tile_batched_bwd_matches(monkeypatch):
+    """Forcing the tile-batched backward (pair-space d_charts working-set
+    cap) must give identical gradients to the one-shot path."""
+    from gstex_tpu.ops import rasterize_pallas_api as api
+
+    scene, cam = setup(n=48, seed=3)
+    ks = jax.random.split(jax.random.key(7), 2)
+    cot = {
+        "texture_rgb": jax.random.normal(ks[0], (H, W, 3)),
+        "img": jax.random.normal(ks[1], (H, W, 3)),
+    }
+    diff_keys = ["means", "opacity_logits", "texture"]
+    rest = {k: scene[k] for k in scene if k not in diff_keys}
+    diff = {k: scene[k] for k in diff_keys}
+    pl_fn = lambda g, t, hw, b, c, gr: rasterize_pl(
+        g, t, hw, b, c, gr, interpret=True, version=4)
+    gfun = jax.grad(lambda d: _loss(pl_fn, {**d, **rest}, cam, cot))
+    g_one = gfun(diff)
+    monkeypatch.setattr(api, "D_CHARTS_BYTES_CAP", 1 << 14)  # force batches
+    g_batched = gfun(diff)
+    for k in diff_keys:
+        np.testing.assert_allclose(np.asarray(g_batched[k]),
+                                   np.asarray(g_one[k]), atol=1e-6,
+                                   err_msg=f"grad {k}")
+
+
 def test_pallas_eval_kernel_matches_xla():
     """Forward-only eval kernel: rgb-compositing maps equal the XLA tier."""
     from gstex_tpu.ops.rasterize_pallas_api import rasterize_pl_eval
