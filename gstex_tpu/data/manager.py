@@ -33,6 +33,7 @@ class FullImageCache:
     rng: np.random.Generator = field(
         default_factory=lambda: np.random.default_rng(0))
     _unseen: list = field(default_factory=list)
+    _device_images: dict = field(default_factory=dict)
 
     @classmethod
     def build(cls, parsed: ParsedDataset, seed: int = 0,
@@ -116,15 +117,31 @@ class FullImageCache:
         """Random without-replacement camera sampling
         (``full_images_datamanager.py:316-363``).
         Returns (camera, image, mask-or-None)."""
+        return self.next_train_idx()[1]
+
+    def next_train_idx(self):
+        """Like ``next_train`` but also returns the camera index (the key
+        for ``device_image``)."""
         if not self._unseen:
             self._unseen = list(self.rng.permutation(len(self.cameras)))
         i = int(self._unseen.pop())
         m = self.masks[i] if self.masks is not None else None
-        return self.cameras[i], self.images[i], m
+        return i, (self.cameras[i], self.images[i], m)
 
     def get(self, i: int):
         m = self.masks[i] if self.masks is not None else None
         return self.cameras[i], self.images[i], m
+
+    def device_image(self, i: int):
+        """Index-keyed cache of device-side float images. Owned by the
+        cache (which keeps every host image alive), replacing a trainer
+        dict keyed by ``id(img)`` whose keys could alias after GC."""
+        if i not in self._device_images:
+            import jax.numpy as jnp
+
+            self._device_images[i] = jnp.asarray(
+                image_to_float(self.images[i]))
+        return self._device_images[i]
 
 
 def image_to_float(img: np.ndarray) -> np.ndarray:

@@ -62,6 +62,35 @@ def build_model(args, method, parsed):
         key=jax.random.key(1))
 
 
+def apply_override(method, spec: str):
+    """Apply one ``--set section.field=value`` override (the analog of the
+    reference's full tyro nested-flag surface, ``method_configs.py:136-143``
+    where every config field is a ``--pipeline.model.*`` flag)."""
+    try:
+        key, raw = spec.split("=", 1)
+        section, field = key.split(".", 1)
+    except ValueError:
+        raise SystemExit(f"--set expects SECTION.FIELD=VALUE, got {spec!r}")
+    target = {"model": method.model, "optim": method.optim,
+              "trainer": method.trainer}.get(section)
+    if target is None:
+        raise SystemExit(f"--set section must be model/optim/trainer, "
+                         f"got {section!r}")
+    names = {f.name for f in dataclasses.fields(target)}
+    if field not in names:
+        raise SystemExit(f"--set: {section} has no field {field!r}; "
+                         f"have {sorted(names)}")
+    try:
+        value = json.loads(raw)
+    except json.JSONDecodeError:
+        value = raw
+    if isinstance(value, list) and isinstance(
+            getattr(target, field), tuple):
+        value = tuple(value)
+    setattr(method, section, dataclasses.replace(target, **{field: value}))
+    return method
+
+
 def add_common_args(p):
     p.add_argument("method")
     p.add_argument("--data", required=True)
@@ -85,6 +114,15 @@ def add_common_args(p):
                    choices=["xla", "pallas", "pallas1", "pallas2", "pallas3",
                             "pallas_interpret"],
                    help="renderer tier override (default: method config)")
+    p.add_argument("--set", action="append", default=[], dest="overrides",
+                   metavar="SECTION.FIELD=VALUE",
+                   help="override any config field, e.g. "
+                        "--set model.lambda_normal=0.05 "
+                        "--set trainer.steps_per_save=1000 "
+                        "--set optim.xyz_lr_mult=2 (sections: model, "
+                        "optim, trainer; values parsed as JSON, falling "
+                        "back to string) — the analog of the reference's "
+                        "full tyro --pipeline.model.* flag surface")
 
 
 def main(argv=None):
@@ -101,6 +139,13 @@ def main(argv=None):
     if args.renderer is not None:
         method.model = dataclasses.replace(method.model,
                                            renderer=args.renderer)
+    else:
+        from ..configs.methods import auto_renderer
+
+        method.model = dataclasses.replace(method.model,
+                                           renderer=auto_renderer())
+    for ov in args.overrides:
+        method = apply_override(method, ov)
     if args.max_num_iterations is not None:
         method.trainer = dataclasses.replace(
             method.trainer, max_num_iterations=args.max_num_iterations)
@@ -154,10 +199,12 @@ def main(argv=None):
     if args.viewer:
         trainer.attach_viewer(port=args.viewer_port)
     trainer.train()
+    results = None
     if eval_cache is not None:
         results = trainer.eval_all()
         (Path(out) / "eval.json").write_text(json.dumps(results, indent=2))
         print(json.dumps(results, indent=2))
+    return results
 
 
 if __name__ == "__main__":

@@ -68,6 +68,11 @@ class TrainerConfig:
     load_checkpoint: Optional[str] = None
     log_every: int = 10
     num_devices: int = 0   # >1: shard tile rows over a device mesh
+    # NaN/Inf gate on the per-chunk loss — the TPU analog of the
+    # reference's per-step ``torch.autograd.set_detect_anomaly(True)``
+    # (``engine/trainer.py:449``): a NaN aborts with a diagnostic dump
+    # instead of silently poisoning the remaining steps
+    check_finite: bool = True
     # train steps fused under one jit dispatch (lax.scan). Amortizes host
     # round-trips and lets XLA pipeline adjacent steps; chunks are clipped
     # to cadence boundaries (log/rechart/eval/save) so observable behavior
@@ -106,7 +111,6 @@ class Trainer:
         self._rechart = step_mod.make_rechart_step(mcfg)
         self._eval = step_mod.make_eval_step(mcfg)
         self._scan_steps: dict = {}
-        self._img_cache: dict = {}
         self.viewer = None
 
     def _step_for(self, cam):
@@ -142,6 +146,7 @@ class Trainer:
             return 1
         cadences = [c for c in (mcfg.build_chart_every, tcfg.log_every,
                                 tcfg.steps_per_eval_image,
+                                tcfg.steps_per_eval_all_images,
                                 tcfg.steps_per_save) if c and c > 0]
         for c in cadences:
             nxt = step if step % c == 0 else step + (c - step % c)
@@ -167,7 +172,7 @@ class Trainer:
                                                                  self.tx)
         return self._scan_steps[key]
 
-    def _run_one(self, step: int, cam, img, mask):
+    def _run_one(self, step: int, idx: int, cam, img, mask):
         mcfg = self.mcfg
         d = model.downscale_factor(mcfg, step)
         if d > 1:
@@ -175,7 +180,7 @@ class Trainer:
             if mask is not None:
                 mask = mask[::d, ::d]
         # downscaled arrays are transient — don't cache them
-        gt = (self._device_image(img) if d == 1
+        gt = (self.train_cache.device_image(idx) if d == 1
               else jnp.asarray(image_to_float(img)))
         m = (None if mask is None
              else jnp.asarray(mask, jnp.float32)[..., None])
@@ -196,31 +201,37 @@ class Trainer:
                 while self.viewer.paused:
                     time.sleep(0.1)
             n = self._chunk_size(step)
-            batch = [self.train_cache.next_train() for _ in range(n)]
-            same_res = len({(c.height, c.width) for c, _, _ in batch}) == 1
-            no_mask = all(m is None for _, _, m in batch)
+            batch = [self.train_cache.next_train_idx() for _ in range(n)]
+            same_res = len({(c.height, c.width)
+                            for _, (c, _, _) in batch}) == 1
+            no_mask = all(m is None for _, (_, _, m) in batch)
             with profiler.time_section("train_iteration"):
                 if n > 1 and same_res and no_mask:
                     from ..ops.camera import stack_cameras
 
-                    cams = stack_cameras([c for c, _, _ in batch])
-                    gts = jnp.stack([self._device_image(im)
-                                     for _, im, _ in batch])
-                    scan = self._scan_for(n, batch[0][0].height,
-                                          batch[0][0].width)
+                    cams = stack_cameras([c for _, (c, _, _) in batch])
+                    gts = jnp.stack([self.train_cache.device_image(i)
+                                     for i, _ in batch])
+                    scan = self._scan_for(n, batch[0][1][0].height,
+                                          batch[0][1][0].width)
                     self.state, ms = scan(self.state, cams, gts)
                     metrics = {k: v[-1] for k, v in ms.items()}
                     metrics["overflow"] = ms["overflow"].max()
-                    cam = batch[-1][0]
+                    cam = batch[-1][1][0]
                 else:
-                    for cam, img, mask in batch[:-1]:
-                        self._run_one(step, cam, img, mask)
+                    for i, (cam, img, mask) in batch[:-1]:
+                        self._run_one(step, i, cam, img, mask)
                         step += 1
                         steps_since_log += 1
-                    cam, metrics = self._run_one(step, *batch[-1])
+                    i, (cam, img, mask) = batch[-1]
+                    cam, metrics = self._run_one(step, i, cam, img, mask)
                     n = 1
             step += n - 1  # `step` now indexes the chunk's LAST iteration
             steps_since_log += n
+
+            if tcfg.check_finite and not np.isfinite(
+                    float(metrics["loss"])):
+                self._nan_abort(step, metrics)
 
             # AFTER_TRAIN_ITERATION hooks (gstex.py:901-923)
             if (mcfg.build_chart_every > 0 and step > 0
@@ -245,6 +256,13 @@ class Trainer:
             if (tcfg.steps_per_eval_image > 0 and self.eval_cache
                     and step % tcfg.steps_per_eval_image == 0):
                 self.eval_one(step)
+
+            if (tcfg.steps_per_eval_all_images > 0 and self.eval_cache
+                    and step > 0
+                    and step % tcfg.steps_per_eval_all_images == 0):
+                agg = self.eval_all(step)
+                self.writer.scalars(
+                    step, {f"eval_all_{k}": v for k, v in agg.items()})
 
             if (tcfg.steps_per_save > 0 and step > 0
                     and step % tcfg.steps_per_save == 0):
@@ -280,19 +298,34 @@ class Trainer:
         if self.viewer is not None:
             self.viewer.cfg = mcfg
 
-    def _device_image(self, img: np.ndarray):
-        key = id(img)
-        if key not in self._img_cache:
-            self._img_cache[key] = jnp.asarray(image_to_float(img))
-        return self._img_cache[key]
+    def _nan_abort(self, step: int, metrics: dict):
+        """Dump a diagnostic (step, metrics, per-leaf param stats) and abort
+        — the detect_anomaly analog (``engine/trainer.py:449``)."""
+        import json
+
+        leaves = {}
+        for name, leaf in self.state.params._asdict().items():
+            arr = np.asarray(leaf)
+            leaves[name] = {
+                "finite_frac": float(np.isfinite(arr).mean()),
+                "absmax": float(np.nanmax(np.abs(arr))),
+            }
+        dump = {"step": step,
+                "metrics": {k: float(v) for k, v in metrics.items()},
+                "params": leaves}
+        path = self.out_dir / f"nan_dump_step{step}.json"
+        path.write_text(json.dumps(dump, indent=1))
+        raise FloatingPointError(
+            f"non-finite loss at step {step}; diagnostic at {path}")
 
     def eval_one(self, step: int, idx: int = 0):
         if self.eval_cache is None:
             return {}
-        cam, img, _ = self.eval_cache.get(idx % len(self.eval_cache))
+        i = idx % len(self.eval_cache)
+        cam, img, _ = self.eval_cache.get(i)
         bg = self._eval_background()
         out = self._eval(self.state, cam, bg)
-        gt = model.composite_gt(self._device_image(img), bg)
+        gt = model.composite_gt(self.eval_cache.device_image(i), bg)
         m = metrics_io.image_metrics(out["rgb"], gt)
         self.writer.scalars(step, {f"eval_{k}": v for k, v in m.items()})
         self.writer.image(step, "eval_rgb", np.asarray(out["rgb"]))
@@ -317,7 +350,7 @@ class Trainer:
             out = self._eval(self.state, cam, bg)
             rgb_np = np.asarray(out["rgb"])
             t_render += time.perf_counter() - t0
-            gt = model.composite_gt(self._device_image(img), bg)
+            gt = model.composite_gt(self.eval_cache.device_image(i), bg)
             rows.append(metrics_io.image_metrics(out["rgb"], gt))
             if save_images:
                 self.writer.image(i, "eval_all_rgb", rgb_np)

@@ -35,6 +35,33 @@ def test_chart_budget():
                                1.0 / (2 * 3.0 * l0), rtol=1e-5)
 
 
+def test_auto_pad_lod_budget():
+    """VERDICT r1 item 2: a 128-Gaussian scene with pixel_num=1e6 (the
+    blender-lod sweep's smallest init, ``scripts/blender_lod.py:26``) must
+    allocate its full budget — charts ~88x88, unreachable under a fixed
+    8x8 pad."""
+    import dataclasses
+
+    cfg = dataclasses.replace(CFG, pixel_num=1e6, chart_pad=None)
+    scene = random_scene(jax.random.key(1), 128)
+    params, buffers = model.init_params(
+        cfg, scene["means"], scene["log_scales"], scene["quats"],
+        scene["opacity_logits"], scene["features_dc"], scene["features_rest"])
+    total = int(model.texel_count(buffers))
+    assert abs(total - 1e6) <= 0.001 * 1e6 + 128
+    hw = np.asarray(buffers.texture_hw)
+    assert hw.max() > 42, "auto pad should exceed the one-lane-block cap"
+    # storage pad covers the dims with headroom and stays within the cap
+    ph, pw = params.texture.shape[1:3]
+    assert hw[:, 0].max() <= ph <= cfg.chart_pad_max[0]
+    assert hw[:, 1].max() <= pw <= cfg.chart_pad_max[1]
+    # rechart keeps the budget without growing storage
+    params2, buffers2 = model.rechart(cfg, params, buffers)
+    assert params2.texture.shape == params.texture.shape
+    total2 = int(model.texel_count(buffers2))
+    assert abs(total2 - 1e6) <= 0.001 * 1e6 + 128
+
+
 def test_chart_budget_zero_is_2dgs():
     cfg = model.GStexConfig(pixel_num=0, chart_pad=(8, 8))
     scene = random_scene(jax.random.key(0), 32)
@@ -146,6 +173,61 @@ def test_cull_and_duplicate():
     np.testing.assert_array_equal(np.asarray(p3.means[20:]),
                                   np.asarray(p2.means[:5]))
     assert b3.texture_hw.shape[0] == 25
+
+
+def test_trainer_nan_gate(tmp_path):
+    """Injected NaN aborts with a diagnostic dump (the detect_anomaly
+    analog, reference ``engine/trainer.py:449``)."""
+    import pytest
+
+    from gstex_tpu.data.manager import FullImageCache
+    from gstex_tpu.data.synthetic import orbit_camera
+    from gstex_tpu.train.trainer import Trainer, TrainerConfig
+
+    params, buffers = make_model(n=32)
+    params = params._replace(
+        means=params.means.at[0, 0].set(jnp.nan))
+    cam = orbit_camera(32, 32, dist=3.0)
+    cache = FullImageCache(cameras=[cam],
+                           images=[np.zeros((32, 32, 3), np.uint8)])
+    tcfg = TrainerConfig(max_num_iterations=3, steps_per_save=0,
+                         steps_per_eval_image=0, output_dir=str(tmp_path))
+    tr = Trainer(tcfg, CFG, optim.OptimConfig(), params, buffers, cache)
+    with pytest.raises(FloatingPointError):
+        tr.train()
+    dumps = list(tmp_path.glob("nan_dump_step*.json"))
+    assert dumps, "no diagnostic dump written"
+    import json
+
+    d = json.loads(dumps[0].read_text())
+    assert d["params"]["means"]["finite_frac"] < 1.0
+
+
+def test_trainer_eval_all_cadence(tmp_path):
+    """steps_per_eval_all_images runs the full-eval sweep on cadence
+    (was a dead knob in round 1)."""
+    import json
+
+    from gstex_tpu.data.manager import FullImageCache
+    from gstex_tpu.data.synthetic import orbit_camera
+    from gstex_tpu.train.trainer import Trainer, TrainerConfig
+
+    params, buffers = make_model(n=32)
+    cam = orbit_camera(32, 32, dist=3.0)
+    img = np.zeros((32, 32, 3), np.uint8)
+    cache = FullImageCache(cameras=[cam], images=[img])
+    ecache = FullImageCache(cameras=[cam], images=[img])
+    tcfg = TrainerConfig(max_num_iterations=4, steps_per_save=0,
+                         steps_per_eval_image=0,
+                         steps_per_eval_all_images=2,
+                         output_dir=str(tmp_path))
+    tr = Trainer(tcfg, CFG, optim.OptimConfig(), params, buffers, cache,
+                 eval_cache=ecache)
+    tr.train()
+    rows = [json.loads(l) for l in
+            (tmp_path / "events.jsonl").read_text().splitlines()]
+    steps = [r["step"] for r in rows if "eval_all_psnr" in r]
+    assert steps and all(s % 2 == 0 for s in steps)
 
 
 def test_trainer_capacity_growth(tmp_path):
