@@ -2,20 +2,21 @@
 
 Mirrors ``get_image_metrics_and_images`` (reference
 ``nerfstudio/models/gstex.py:1337-1403``): the prediction is quantized to
-uint8 before metrics (1380-1381). LPIPS needs pretrained AlexNet weights;
-in a zero-egress environment it degrades gracefully to None.
+uint8 before metrics (1380-1381). LPIPS is the exact AlexNet LPIPS v0.1
+(``utils/lpips.py``, matching the reference's torchmetrics LPIPS); it
+needs a pretrained-weight npz — in this zero-egress environment none can
+be downloaded, so when no npz is found the key is omitted (never a
+stand-in number that would be incomparable to the reference's metric).
 """
 
 from __future__ import annotations
-
-import numpy as np
 
 import jax.numpy as jnp
 
 from ..ops.ssim import psnr as _psnr, ssim as _ssim
 
 _lpips_model = None
-_lpips_failed = False
+_lpips_checked = False
 
 
 def quantize_uint8(img):
@@ -36,40 +37,14 @@ def image_metrics(pred, gt) -> dict:
 
 
 def lpips(pred, gt):
-    """AlexNet LPIPS via torch-cpu if pretrained weights are available
-    locally; otherwise None (zero-egress gate)."""
-    global _lpips_model, _lpips_failed
-    if _lpips_failed:
-        return None
+    """Real AlexNet LPIPS when a weight npz is available (GSTEX_LPIPS_NPZ
+    or weights/lpips_alex.npz — see tools/export_lpips.py); else None."""
+    global _lpips_model, _lpips_checked
+    if not _lpips_checked:
+        from . import lpips as lpips_mod
+
+        _lpips_model = lpips_mod.find()
+        _lpips_checked = True
     if _lpips_model is None:
-        try:
-            import torch
-            from torchvision.models import alexnet
-
-            net = alexnet(weights="IMAGENET1K_V1").features.eval()
-            _lpips_model = ("alex_features", net, torch)
-        except Exception:
-            _lpips_failed = True
-            return None
-    _, net, torch = _lpips_model
-    # Simplified perceptual distance on normalized AlexNet features
-    # (unit-normalized channel differences averaged over layers — the LPIPS
-    # structure with uniform linear weights; exact LPIPS lin weights are not
-    # shipped offline).
-    def prep(x):
-        x = torch.from_numpy(np.asarray(x, np.float32)).permute(2, 0, 1)[None]
-        mean = torch.tensor([0.485, 0.456, 0.406])[None, :, None, None]
-        std = torch.tensor([0.229, 0.224, 0.225])[None, :, None, None]
-        return (x - mean) / std
-
-    layers = [1, 4, 7, 9, 11]
-    with torch.no_grad():
-        xa, xb = prep(pred), prep(gt)
-        dist = 0.0
-        for i, layer in enumerate(net):
-            xa, xb = layer(xa), layer(xb)
-            if i in layers:
-                fa = xa / (xa.norm(dim=1, keepdim=True) + 1e-10)
-                fb = xb / (xb.norm(dim=1, keepdim=True) + 1e-10)
-                dist = dist + ((fa - fb) ** 2).sum(1).mean().item()
-    return float(dist / len(layers))
+        return None
+    return float(_lpips_model(pred, gt))
