@@ -23,6 +23,23 @@ PAGE_HTML = r"""<!DOCTYPE html>
   <option>clean_normal_img</option><option>only_rgb</option>
   <option>only_texture</option>
  </select>
+ <label>Colormap <select id="cmap">
+  <option>depth</option><option>turbo</option><option>gray</option>
+ </select></label>
+ <label>Max res <select id="maxres">
+  <option>96</option><option>192</option><option>384</option>
+  <option selected>768</option>
+ </select></label>
+ <h3>Crop box</h3>
+ <label><input type="checkbox" id="cropOn" style="width:auto"> enable</label>
+ <input id="cropMin" value="-2,-2,-2" title="min x,y,z">
+ <input id="cropMax" value="2,2,2" title="max x,y,z">
+ <h3>Render path</h3>
+ <button id="addKf">Add keyframe</button>
+ <button id="clearKf">Clear keyframes</button>
+ <label>Seconds <input id="pathSecs" value="4"></label>
+ <button id="exportPath">Export camera_path.json</button>
+ <div class="stat" id="pathInfo"></div>
  <h3>Texture painting</h3>
  <label>Colour <input type="color" id="lineColor" value="#ff0000"></label>
  <label>Width <input type="range" id="lineWidth" min="1" max="20" value="5"></label>
@@ -115,6 +132,34 @@ document.getElementById('saveEdit').onclick=async()=>{
  await fetch('/control',{method:'POST',body:JSON.stringify({action:'save'})});
 };
 document.getElementById('output').onchange=requestRender;
+document.getElementById('cmap').onchange=async e=>{
+ await fetch('/control',{method:'POST',body:JSON.stringify(
+   {action:'set_colormap',name:e.target.value})});requestRender();};
+document.getElementById('maxres').onchange=async e=>{
+ await fetch('/control',{method:'POST',body:JSON.stringify(
+   {action:'set_max_res',max_res:+e.target.value})});requestRender();};
+async function sendCrop(){
+ const on=document.getElementById('cropOn').checked;
+ const mn=document.getElementById('cropMin').value.split(',').map(Number);
+ const mx=document.getElementById('cropMax').value.split(',').map(Number);
+ await fetch('/control',{method:'POST',body:JSON.stringify(
+   {action:'set_crop',enabled:on,min:mn,max:mx})});requestRender();}
+document.getElementById('cropOn').onchange=sendCrop;
+document.getElementById('cropMin').onchange=sendCrop;
+document.getElementById('cropMax').onchange=sendCrop;
+document.getElementById('addKf').onclick=async()=>{
+ const r=await (await fetch('/panel',{method:'POST',body:JSON.stringify(
+   {action:'add_keyframe',camera:camera()})})).json();
+ document.getElementById('pathInfo').textContent=r.keyframes+' keyframes';};
+document.getElementById('clearKf').onclick=async()=>{
+ const r=await (await fetch('/panel',{method:'POST',body:JSON.stringify(
+   {action:'clear_keyframes'})})).json();
+ document.getElementById('pathInfo').textContent=r.keyframes+' keyframes';};
+document.getElementById('exportPath').onclick=async()=>{
+ const r=await (await fetch('/panel',{method:'POST',body:JSON.stringify(
+   {action:'export',seconds:+document.getElementById('pathSecs').value})}))
+   .json();
+ document.getElementById('pathInfo').textContent='saved '+(r.path||'');};
 requestRender();poll();
 </script></body></html>
 """

@@ -50,11 +50,13 @@ class RenderStateMachine(threading.Thread):
         self.wake.set()
 
     def pick_res(self, moving: bool) -> int:
+        ladder = [r for r in RES_LADDER if r <= self.viewer.max_res] \
+            or RES_LADDER[:1]
         if not moving:
-            return RES_LADDER[-1]
+            return ladder[-1]
         # largest resolution that still hits the target fps
-        best = RES_LADDER[0]
-        for r in RES_LADDER:
+        best = ladder[0]
+        for r in ladder:
             if self.last_render_s[r] <= 1.0 / self.target_fps:
                 best = r
         return best
@@ -87,7 +89,7 @@ class Viewer:
     """Owns model state access, the render thread, and the HTTP server."""
 
     def __init__(self, cfg: model.GStexConfig, get_state, train_lock=None,
-                 port: int = 7007, trainer=None):
+                 port: int = 7007, trainer=None, out_dir=None):
         self.cfg = cfg
         self.get_state = get_state
         self.train_lock = train_lock or threading.Lock()
@@ -101,6 +103,17 @@ class Viewer:
         self.line_rgb = (255, 0, 0)
         self.line_width = 5
         self._render_fns = {}
+        # control panel state (reference viewer/control_panel.py: output
+        # selector / colormap / max-res / crop box)
+        self.colormap = "depth"        # depth | turbo | gray
+        self.max_res = RES_LADDER[-1]
+        self.crop = None               # {"min": [3], "max": [3]} world box
+        # render panel (keyframed camera paths, render_panel.py analog)
+        from .render_panel import RenderPanel
+
+        self.panel = RenderPanel()
+        self.out_dir = str(out_dir) if out_dir is not None else (
+            str(trainer.out_dir) if trainer is not None else ".")
         self.rsm = RenderStateMachine(self)
         self.port = port
         self.httpd = None
@@ -115,25 +128,40 @@ class Viewer:
                            max(int(round(w * scale)), 8),
                            np.array(d["c2w"], np.float32))
 
+    def _crop_params(self, params):
+        """Crop box: hide gaussians outside the world-space box (the
+        functional analog of the reference control panel's crop,
+        ``viewer/control_panel.py``) by flooring their opacity logits."""
+        if self.crop is None:
+            return params
+        lo = jnp.asarray(self.crop["min"], jnp.float32)
+        hi = jnp.asarray(self.crop["max"], jnp.float32)
+        inside = jnp.all((params.means >= lo) & (params.means <= hi),
+                         axis=-1, keepdims=True)
+        return params._replace(
+            opacity_logits=jnp.where(inside, params.opacity_logits, -40.0))
+
     def render(self, cam_dict, output_name, res):
         state = self.get_state()
         cam = self._cam_from_dict(cam_dict, res)
         bg = jnp.asarray([0.1490, 0.1647, 0.2157])
+        cmap = lambda d: _colormap(d, self.colormap)
         with self.train_lock:
+            params = self._crop_params(state.params)
             if output_name in ("rgb", "depth", "accumulation") \
                     and self.edit_texture is None:
-                out = model.render(self.cfg, state.params, state.buffers, cam,
+                out = model.render(self.cfg, params, state.buffers, cam,
                                    state.step, bg, eval_only=True)
                 imgs = {
                     "rgb": out["rgb"],
-                    "depth": _colormap(out["depth"]),
+                    "depth": cmap(out["depth"]),
                     "accumulation": out["alpha"][..., None].repeat(3, -1),
                 }
             else:
                 imgs = model.render_eval_images(
-                    self.cfg, state.params, state.buffers, cam, state.step,
+                    self.cfg, params, state.buffers, cam, state.step,
                     bg, edit_texture=self.edit_texture)
-                imgs["depth"] = _colormap(imgs["depth"][..., 0])
+                imgs["depth"] = cmap(imgs["depth"][..., 0])
                 imgs["accumulation"] = imgs["accumulation"].repeat(3, -1)
             img = np.asarray(imgs.get(output_name, imgs["rgb"]))
         jpeg = _to_jpeg(img)
@@ -212,6 +240,10 @@ class Viewer:
                         "num_gaussians": int(st.params.means.shape[0]),
                         "texel_count": int(model.texel_count(st.buffers)),
                         "edits": len(viewer.edit_session.edits),
+                        "keyframes": len(viewer.panel.keyframes),
+                        "colormap": viewer.colormap,
+                        "max_res": viewer.max_res,
+                        "crop": viewer.crop,
                     }).encode())
                 else:
                     self._send(404, b"{}")
@@ -244,9 +276,49 @@ class Viewer:
                                                          viewer.line_rgb))
                         viewer.line_width = int(body.get("width",
                                                          viewer.line_width))
+                    elif action == "set_colormap":
+                        viewer.colormap = str(body.get("name", "depth"))
+                    elif action == "set_max_res":
+                        viewer.max_res = int(body.get("max_res",
+                                                      RES_LADDER[-1]))
+                    elif action == "set_crop":
+                        viewer.crop = (
+                            {"min": [float(v) for v in body["min"]],
+                             "max": [float(v) for v in body["max"]]}
+                            if body.get("enabled", True) else None)
                     self._send(200, json.dumps(
                         {"paused": viewer.paused,
                          "polyline": len(viewer.current_polyline)}).encode())
+                elif self.path == "/panel":
+                    # render panel (keyframed camera paths,
+                    # reference render_panel.py:1182)
+                    action = body.get("action")
+                    resp = {}
+                    if action == "add_keyframe":
+                        viewer.panel.add(body["camera"])
+                    elif action == "remove_keyframe":
+                        viewer.panel.remove(int(body.get("index", -1)))
+                    elif action == "clear_keyframes":
+                        viewer.panel.clear()
+                    elif action == "camera_path":
+                        resp["camera_path"] = viewer.panel.camera_path(
+                            seconds=float(body.get("seconds", 4.0)),
+                            fps=int(body.get("fps", 24)),
+                            render_height=int(body.get("render_height",
+                                                       1080)),
+                            render_width=int(body.get("render_width",
+                                                      1920)))
+                    elif action == "export":
+                        resp["path"] = viewer.panel.export(
+                            viewer.out_dir,
+                            seconds=float(body.get("seconds", 4.0)),
+                            fps=int(body.get("fps", 24)),
+                            render_height=int(body.get("render_height",
+                                                       1080)),
+                            render_width=int(body.get("render_width",
+                                                      1920)))
+                    resp["keyframes"] = len(viewer.panel.keyframes)
+                    self._send(200, json.dumps(resp).encode())
                 else:
                     self._send(404, b"{}")
 
@@ -262,11 +334,23 @@ class Viewer:
             self.httpd.shutdown()
 
 
-def _colormap(depth):
+def _colormap(depth, name: str = "depth"):
+    """Depth colorization (``nerfstudio/utils/colormaps.py`` analog):
+    'depth' (blue-warm), 'turbo' (polynomial approximation of Google's
+    turbo map), or 'gray'."""
     d = np.asarray(depth)
     lo, hi = d.min(), d.max()
-    norm = (d - lo) / (hi - lo + 1e-6)
-    return jnp.asarray(np.stack([norm, norm, 1.0 - norm], -1))
+    x = (d - lo) / (hi - lo + 1e-6)
+    if name == "gray":
+        rgb = np.stack([x, x, x], -1)
+    elif name == "turbo":
+        r = np.clip(1.61 * x - 0.43 + 0.34 * np.sin(6.5 * x - 3.6), 0, 1)
+        g = np.clip(np.sin(np.pi * np.clip(x * 1.12 - 0.03, 0, 1)), 0, 1)
+        b = np.clip(1.07 - 1.75 * x + 0.58 * np.sin(5.0 * x + 1.3), 0, 1)
+        rgb = np.stack([r, g, b], -1)
+    else:
+        rgb = np.stack([x, x, 1.0 - x], -1)
+    return jnp.asarray(rgb)
 
 
 def _to_jpeg(img: np.ndarray) -> bytes:

@@ -100,3 +100,71 @@ def test_paint_over_http(viewer):
     _post("/control", {"action": "undo"})
     st = json.loads(_get("/state").read())
     assert st["edits"] == 0
+
+
+def test_render_panel_keyframes_and_export(viewer, tmp_path):
+    """Render panel (VERDICT r1 item 7): capture keyframes, export a
+    nerfstudio-format camera_path.json, and verify the render CLI's
+    consumer schema parses it (reference render_panel.py:1182)."""
+    viewer.out_dir = str(tmp_path)
+    _post("/panel", {"action": "clear_keyframes"})
+    for az in (0.0, 0.8, 1.6):
+        cam = orbit_camera(64, 64, dist=3.0, azimuth=az)
+        d = {"fx": float(cam.fx), "fy": float(cam.fy), "cx": float(cam.cx),
+             "cy": float(cam.cy), "height": 64, "width": 64,
+             "c2w": np.asarray(cam.c2w).tolist()}
+        r = _post("/panel", {"action": "add_keyframe", "camera": d})
+    assert r["keyframes"] == 3
+    r = _post("/panel", {"action": "export", "seconds": 2.0, "fps": 10,
+                         "render_height": 64, "render_width": 96})
+    path = r["path"]
+    spec = json.loads(open(path).read())
+    assert spec["render_height"] == 64 and spec["render_width"] == 96
+    assert len(spec["camera_path"]) == 20
+    # endpoint poses hit the first/last keyframes
+    m0 = np.array(spec["camera_path"][0]["camera_to_world"]).reshape(4, 4)
+    kf0 = np.array(spec["keyframes"][0]["matrix"]).reshape(-1, 4)
+    np.testing.assert_allclose(m0[:3], kf0[:3], atol=1e-6)
+    # the render CLI's camera construction accepts every frame
+    from gstex_tpu.ops.camera import make_camera
+
+    for kf in spec["camera_path"]:
+        c2w = np.array(kf["camera_to_world"], np.float64).reshape(4, 4)[:3]
+        fov = float(kf["fov"])
+        fy = 0.5 * 64 / np.tan(0.5 * np.deg2rad(fov))
+        make_camera(fy, fy, 48, 32, 64, 96, c2w)
+    # in-memory preview endpoint
+    r = _post("/panel", {"action": "camera_path", "seconds": 1.0, "fps": 5})
+    assert len(r["camera_path"]["camera_path"]) == 5
+
+
+def test_control_panel_crop_and_colormap(viewer):
+    """Control panel: crop box hides gaussians; colormap/max-res settings
+    round-trip (reference viewer/control_panel.py)."""
+    d = _camera_dict()
+    full = np.asarray(viewer.render(d, "accumulation", 96)[0]).size
+    assert full > 0
+    # crop to an empty box -> alpha goes black (render via the Viewer API
+    # to avoid render-thread timing)
+    _post("/control", {"action": "set_crop", "enabled": True,
+                       "min": [50, 50, 50], "max": [51, 51, 51]})
+    st = json.loads(_get("/state").read())
+    assert st["crop"]["min"] == [50.0, 50.0, 50.0]
+    jpeg_cropped, _ = viewer.render(d, "accumulation", 96)
+    from PIL import Image
+
+    arr = np.asarray(Image.open(io.BytesIO(jpeg_cropped)))
+    assert arr.mean() < 4.0, "crop box did not hide the scene"
+    _post("/control", {"action": "set_crop", "enabled": False,
+                       "min": [0, 0, 0], "max": [0, 0, 0]})
+    jpeg_full, _ = viewer.render(d, "accumulation", 96)
+    arr2 = np.asarray(Image.open(io.BytesIO(jpeg_full)))
+    assert arr2.mean() > arr.mean() + 2.0
+
+    _post("/control", {"action": "set_colormap", "name": "turbo"})
+    _post("/control", {"action": "set_max_res", "max_res": 192})
+    st = json.loads(_get("/state").read())
+    assert st["colormap"] == "turbo" and st["max_res"] == 192
+    assert viewer.rsm.pick_res(moving=False) == 192
+    viewer.render(d, "depth", 96)   # turbo colormap path executes
+    _post("/control", {"action": "set_max_res", "max_res": 768})
