@@ -31,16 +31,25 @@ def main():
 
     SCAN = 8  # trainer's steps_per_sync: steps fused under one dispatch
 
-    def build(renderer):
+    def build(renderer, scene_kind="dense"):
         cfg = model.GStexConfig(chart_pad=(8, 8), tile_h=32, tile_w=32,
                                 pair_cap=1 << 19, s_max=512, pixel_num=1e6,
                                 background_color="black", renderer=renderer)
 
         @jax.jit
         def init():
-            scene = random_scene(jax.random.key(0), N,
-                                 chart_pad=cfg.chart_pad, spread=1.2,
-                                 scale_lo=-4.5, scale_hi=-2.5)
+            if scene_kind == "trained":
+                # trained-scene statistics: surface surfels, saturating
+                # opacities — the early-exit/cull case (data/synthetic.py)
+                from gstex_tpu.data.synthetic import surface_scene
+
+                scene = surface_scene(jax.random.key(0), N,
+                                      chart_pad=cfg.chart_pad)
+            else:
+                # adversarial dense volumetric cloud: no early-exit slack
+                scene = random_scene(jax.random.key(0), N,
+                                     chart_pad=cfg.chart_pad, spread=1.2,
+                                     scale_lo=-4.5, scale_hi=-2.5)
             return model.init_params(
                 cfg, scene["means"], scene["log_scales"], scene["quats"],
                 scene["opacity_logits"], scene["features_dc"],
@@ -70,8 +79,8 @@ def main():
         dt = (time.perf_counter() - t0) / (chunks * SCAN)
         return dt, losses, state, metrics
 
-    def measure(renderer):
-        cfg, state, scan_fn = build(renderer)
+    def measure(renderer, scene_kind="dense"):
+        cfg, state, scan_fn = build(renderer, scene_kind)
         state, metrics = scan_fn(state, cams, gts)   # warmup / compile
         float(metrics["loss"][0])  # true device sync (block_until_ready
                                    # lies on axon; program load is lazy)
@@ -100,6 +109,14 @@ def main():
                 traceback.print_exc()
     best = max(results, key=results.get)
     mpix_s = results[best]
+    # trained-statistics companion number (early exit / cull active —
+    # real scenes look like this; the dense number is the worst case)
+    trained = None
+    try:
+        trained = measure(best, "trained")
+    except Exception as e:
+        print(f"# trained-stats bench failed: {type(e).__name__}: {e}",
+              flush=True)
     print(json.dumps({
         "metric": "fwd_bwd_mpix_per_s_chip",
         "value": round(mpix_s, 3),
@@ -107,6 +124,7 @@ def main():
         "vs_baseline": round(mpix_s / CUDA_NOMINAL_MPIX_S, 3),
         "renderer": best,
         "all": {k: round(v, 3) for k, v in results.items()},
+        "trained_stats_mpix_s": round(trained, 3) if trained else None,
     }))
 
 

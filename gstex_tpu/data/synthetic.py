@@ -51,6 +51,58 @@ def random_scene(key, n: int, chart_pad: tuple[int, int] = (8, 8),
     }
 
 
+def surface_scene(key, n: int, chart_pad: tuple[int, int] = (8, 8),
+                  radius: float = 1.2, opacity_mu: float = 4.0,
+                  sh_degree: int = 3):
+    """Raw parameters with TRAINED-scene statistics: surfels tiling a
+    closed surface (fibonacci sphere), normals radial, scales matched to
+    the local point spacing, opacities saturating (sigmoid(4)≈0.98 — what
+    15k steps of training drive opacities to when densification is off).
+
+    Unlike ``random_scene`` (a transparent volumetric cloud where every
+    pair contributes — the adversarial no-early-exit case, DESIGN.md),
+    rays here terminate at the first surfel layer: the front-to-back
+    T<=1e-4 exit and the conservative pair cull actually bite, like on
+    real trained scenes.
+    """
+    ks = jax.random.split(key, 6)
+    ch, cw = chart_pad
+    dim_sh = (sh_degree + 1) ** 2
+    i = np.arange(n, dtype=np.float64)
+    ga = np.pi * (3.0 - np.sqrt(5.0))          # golden angle
+    z = 1.0 - 2.0 * (i + 0.5) / n
+    r_xy = np.sqrt(np.maximum(1.0 - z * z, 0.0))
+    pts = np.stack([r_xy * np.cos(ga * i), r_xy * np.sin(ga * i), z], -1)
+    normals = pts.astype(np.float32)
+    means = jnp.asarray(radius * normals)
+    # quat rotating +z to the normal: R columns (ax1, ax2, normal)
+    w = 1.0 + normals[:, 2]
+    quats = np.stack([w, -normals[:, 1], normals[:, 0],
+                      np.zeros(n, np.float32)], -1)
+    quats[w < 1e-6] = np.array([0.0, 1.0, 0.0, 0.0], np.float32)
+    quats = jnp.asarray(quats / np.linalg.norm(quats, axis=-1,
+                                               keepdims=True))
+    spacing = radius * np.sqrt(4.0 * np.pi / n)
+    log_scales = jnp.log(spacing * jax.random.uniform(
+        ks[0], (n, 2), minval=0.8, maxval=1.8))
+    opacity_logits = opacity_mu + 0.5 * jax.random.normal(ks[1], (n, 1))
+    l0 = jnp.exp(log_scales[:, 0])
+    l1 = jnp.exp(log_scales[:, 1])
+    return {
+        "means": means,
+        "log_scales": log_scales,
+        "quats": quats,
+        "opacity_logits": opacity_logits,
+        "features_dc": jax.random.normal(ks[2], (n, 3)) * 0.5,
+        "features_rest": jax.random.normal(ks[3], (n, dim_sh - 1, 3)) * 0.05,
+        "texture": jax.random.normal(ks[4], (n, ch, cw, 3)) * 0.3,
+        "texture_hw": jax.random.randint(
+            ks[5], (n, 2), minval=1,
+            maxval=min(ch, cw) + 1).astype(jnp.int32),
+        "mappings": jnp.stack([1.0 / (6.0 * l0), 1.0 / (6.0 * l1)], -1),
+    }
+
+
 def orbit_camera(height: int, width: int, dist: float = 4.0,
                  azimuth: float = 0.0, elevation: float = 0.3,
                  focal: float | None = None) -> Camera:
