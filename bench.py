@@ -32,8 +32,12 @@ def main():
     SCAN = 8  # trainer's steps_per_sync: steps fused under one dispatch
 
     def build(renderer, scene_kind="dense"):
+        # the trained-stats scene's silhouette tiles collect up to ~1.2k
+        # splats (measured: count max 1140 at 50k surfels) — provision the
+        # per-tile list like the trainer's overflow growth would
+        s_max = 2048 if scene_kind == "trained" else 512
         cfg = model.GStexConfig(chart_pad=(8, 8), tile_h=32, tile_w=32,
-                                pair_cap=1 << 19, s_max=512, pixel_num=1e6,
+                                pair_cap=1 << 19, s_max=s_max, pixel_num=1e6,
                                 background_color="black", renderer=renderer)
 
         @jax.jit
@@ -89,6 +93,9 @@ def main():
         dt2, losses2, state, metrics = timed(scan_fn, state, 3)
         assert (float(metrics["loss"][-1]) > 0
                 and float(metrics["psnr"][-1]) < 99), "degenerate bench step"
+        assert float(metrics["overflow"][-1]) == 0, \
+            "bench scene overflows its tile-list capacity — the number " \
+            "would be measured on a degraded render"
         assert len(set(losses1 + losses2)) > 3, \
             f"loss not evolving — bogus measurement: {losses1}"
         ratio = dt1 / dt2

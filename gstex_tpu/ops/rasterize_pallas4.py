@@ -57,6 +57,16 @@ CHUNK = 16
 # --------------------------------------------------------------------------
 H_SUB = 32   # h rows per block in multi-block mode (3*32=96 lanes of 128)
 
+# Chart-table storage dtype. bf16 halves the per-splat chart DMA traffic
+# (the table is read once per (pair, chunk-tile) by both kernels) and the
+# fetch dots already run as bf16 MXU passes (MXU_DOT_PRECISION); texel
+# VALUES quantize to ~3 decimal digits. f32 default until measured
+# (see DESIGN.md precision study).
+import os as _os0
+
+TABLE_DTYPE = {"bf16": jnp.bfloat16, "f32": jnp.float32}[
+    _os0.environ.get("GSTEX_TABLE_DTYPE", "f32")]
+
 
 def _ch_blk_of(ch):
     """Storage-padded chart height: multiple of 8 while single-block,
@@ -90,7 +100,7 @@ def pack_charts_v4(texture: jax.Array) -> jax.Array:
     from .rasterize_pallas import CH3_PAD as _pad128
 
     t = jnp.pad(t, ((0, 0), (0, 0), (0, 0), (0, _pad128 - 3 * hsub)))
-    return t.reshape(n, n_hb * cw_blk, _pad128)
+    return t.reshape(n, n_hb * cw_blk, _pad128).astype(TABLE_DTYPE)
 
 
 import os as _os
@@ -311,7 +321,8 @@ def _fwd_kernel4(grid: TileGrid, s_max: int, ch_blk, cw_blk, counts_ref,
                                   h_c[k:k + 1, :], hsub,
                                   off=b * hsub) * w[k:k + 1, :]
                 u = k * n_hb + b
-                chart_kb = cb[u * cw_blk:(u + 1) * cw_blk, 0:cg]  # (cw, cg)
+                chart_kb = cb[u * cw_blk:(u + 1) * cw_blk,
+                              0:cg].astype(jnp.float32)   # (cw, cg)
                 tmp = _dot_cols(chart_kb, wy)                     # (cg, P)
                 for ci in range(3):
                     tex[ci] = tex[ci] + wx * tmp[ci * hsub:(ci + 1) * hsub, :]
@@ -367,7 +378,7 @@ def rasterize_pallas4_fwd(grid: TileGrid, chart_pad, inputs: PallasInputs4,
         ],
         scratch_shapes=[
             pltpu.SMEM((_ids_pad(s_max),), jnp.int32),
-            pltpu.VMEM((2, CHUNK * g_rows, CH3_PAD), jnp.float32),
+            pltpu.VMEM((2, CHUNK * g_rows, CH3_PAD), TABLE_DTYPE),
             pltpu.SemaphoreType.DMA((2,)),
             pltpu.SemaphoreType.DMA,
         ],
@@ -492,7 +503,8 @@ def _eval_kernel4(grid: TileGrid, s_max: int, ch_blk, cw_blk, counts_ref,
                                   h_c[k:k + 1, :], hsub,
                                   off=b * hsub) * w[k:k + 1, :]
                 u = k * n_hb + b
-                chart_kb = cb[u * cw_blk:(u + 1) * cw_blk, 0:cg]  # (cw, cg)
+                chart_kb = cb[u * cw_blk:(u + 1) * cw_blk,
+                              0:cg].astype(jnp.float32)   # (cw, cg)
                 tmp = _dot_cols(chart_kb, wy)                     # (cg, P)
                 for ci in range(3):
                     tex[ci] = tex[ci] + wx * tmp[ci * hsub:(ci + 1) * hsub, :]
@@ -541,7 +553,7 @@ def rasterize_pallas4_eval(grid: TileGrid, chart_pad, inputs: PallasInputs4,
         ],
         scratch_shapes=[
             pltpu.SMEM((_ids_pad(s_max),), jnp.int32),
-            pltpu.VMEM((2, CHUNK * g_rows, CH3_PAD), jnp.float32),
+            pltpu.VMEM((2, CHUNK * g_rows, CH3_PAD), TABLE_DTYPE),
             pltpu.SemaphoreType.DMA((2,)),
             pltpu.SemaphoreType.DMA,
         ],
@@ -702,7 +714,8 @@ def _bwd_kernel4(grid: TileGrid, s_max: int, ch_blk, cw_blk, tile0_ref,
                 a_b = a_io + b * hsub
                 wx = jnp.maximum(0.0, 1.0 - jnp.abs(xg - a_b))   # (hsub, P)
                 u = k * n_hb + b
-                chart_kb = cb[u * cw_blk:(u + 1) * cw_blk, 0:cg]  # (cw, cg)
+                chart_kb = cb[u * cw_blk:(u + 1) * cw_blk,
+                              0:cg].astype(jnp.float32)   # (cw, cg)
                 tmp = _dot_cols(chart_kb, wy)                     # (cg, P)
 
                 wxk = wx * wk      # blend weight folded once, (hsub, P)
@@ -924,7 +937,7 @@ def rasterize_pallas4_bwd(grid: TileGrid, chart_pad, counts, cam_info,
             pltpu.VMEM((3, CHUNK, pix), jnp.float32),
             pltpu.VMEM((CHUNK, pix), jnp.float32),
             pltpu.VMEM((CHUNK, pix), jnp.float32),
-            pltpu.VMEM((2, CHUNK * g_rows, CH3_PAD), jnp.float32),
+            pltpu.VMEM((2, CHUNK * g_rows, CH3_PAD), TABLE_DTYPE),
             pltpu.SemaphoreType.DMA((2,)),
             pltpu.SemaphoreType.DMA,
         ],

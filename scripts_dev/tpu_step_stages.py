@@ -4,7 +4,7 @@ import jax
 import jax.numpy as jnp
 from gstex_tpu.utils.tpu import enable_compilation_cache
 enable_compilation_cache()
-from gstex_tpu.data.synthetic import orbit_camera, random_scene
+from gstex_tpu.data.synthetic import orbit_camera, random_scene, surface_scene
 from gstex_tpu.models import gstex as model
 from gstex_tpu.train import optim, step as train_step
 
@@ -18,8 +18,12 @@ cfg = model.GStexConfig(chart_pad=(8, 8), tile_h=32, tile_w=32,
 
 @jax.jit
 def init():
-    scene = random_scene(jax.random.key(0), N, chart_pad=cfg.chart_pad,
-                         spread=1.2, scale_lo=-4.5, scale_hi=-2.5)
+    import os
+    if os.environ.get("SCENE") == "trained":
+        scene = surface_scene(jax.random.key(0), N, chart_pad=cfg.chart_pad)
+    else:
+        scene = random_scene(jax.random.key(0), N, chart_pad=cfg.chart_pad,
+                             spread=1.2, scale_lo=-4.5, scale_hi=-2.5)
     return model.init_params(cfg, scene["means"], scene["log_scales"],
                              scene["quats"], scene["opacity_logits"],
                              scene["features_dc"], scene["features_rest"])
