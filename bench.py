@@ -33,9 +33,11 @@ def main():
 
     def build(renderer, scene_kind="dense"):
         # the trained-stats scene's silhouette tiles collect up to ~1.2k
-        # splats (measured: count max 1140 at 50k surfels) — provision the
-        # per-tile list like the trainer's overflow growth would
-        s_max = 2048 if scene_kind == "trained" else 512
+        # splats (measured: count max 1140 at 50k surfels) and the dense
+        # cloud's hottest tiles ~610 post-cull — provision the per-tile
+        # list like the trainer's overflow growth would (walk cost is
+        # count-limited, so padding is ~free)
+        s_max = 2048 if scene_kind == "trained" else 1024
         cfg = model.GStexConfig(chart_pad=(8, 8), tile_h=32, tile_w=32,
                                 pair_cap=1 << 19, s_max=s_max, pixel_num=1e6,
                                 background_color="black", renderer=renderer)

@@ -110,6 +110,11 @@ def _response2(chunk, valid, dirs, gx, gy, mxu: bool = False):
         b2ud = col(16) * d0 + col(17) * d1 + col(18) * d2
     safe_nd = jnp.where(jnp.abs(nd) < 1e-9,
                         jnp.where(nd < 0, -1e-9, 1e-9), nd)
+    # t keeps the true divide (reciprocal·mult differs by ~1ulp, which the
+    # chart-size-scaled bilinear fetch amplifies past the XLA-parity
+    # tolerance); inv_nd is for the BACKWARD's d_an/d_nd only — unused
+    # here, so the forward compile DCEs it.
+    inv_nd = 1.0 / safe_nd
     t_hit = col(3) / safe_nd
 
     u = col(7) + t_hit * b1d
@@ -131,15 +136,25 @@ def _response2(chunk, valid, dirs, gx, gy, mxu: bool = False):
     alpha = jnp.where(t_hit > 1e-6, alpha, 0.0)
     alpha = alpha * valid
 
-    uv_u = jnp.clip(0.5 + col(15) + t_hit * b1ud, 0.0, 1.0)
-    uv_v = jnp.clip(0.5 + col(19) + t_hit * b2ud, 0.0, 1.0)
+    uvu_raw = 0.5 + col(15) + t_hit * b1ud
+    uvv_raw = 0.5 + col(19) + t_hit * b2ud
+    uv_u = jnp.clip(uvu_raw, 0.0, 1.0)
+    uv_v = jnp.clip(uvv_raw, 0.0, 1.0)
 
-    tc = jnp.maximum(t_hit, REG_NEAR)
-    m = (REG_FAR / (REG_FAR - REG_NEAR)) * (1.0 - REG_NEAR / tc)
+    # m = kfac·(1 − NEAR/max(t, NEAR)) without the (K,P) divide: 1/t =
+    # nd/numer, and 1/numer is a per-splat (K,1) reciprocal (~free at 1/P
+    # the lanes). Where t < NEAR (incl. t ≤ 0: numer may be 0 → ±inf,
+    # discarded) the clamp makes 1/tc the constant 1/NEAR.
+    inv_numer = 1.0 / chunk[:, 3:4]
+    inv_t = safe_nd * _rep(inv_numer, pixels)
+    invtc = jnp.where(t_hit >= REG_NEAR, inv_t, 1.0 / REG_NEAR)
+    m = (REG_FAR / (REG_FAR - REG_NEAR)) * (1.0 - REG_NEAR * invtc)
     flip = jnp.where(nd > 0.0, -1.0, 1.0)
     return {
         "t": t_hit, "alpha": alpha, "u": u, "v": v, "uv_u": uv_u,
         "uv_v": uv_v, "m": m, "flip": flip, "nd": nd, "safe_nd": safe_nd,
+        "inv_nd": inv_nd, "invtc": invtc,
+        "uvu_raw": uvu_raw, "uvv_raw": uvv_raw,
         "surf_sel": surf_sel, "g": g, "r2": r2,
         "b1d": b1d, "b2d": b2d, "b1ud": b1ud, "b2ud": b2ud,
         "dpx": dpx, "dpy": dpy,

@@ -666,9 +666,11 @@ def _bwd_kernel4(grid: TileGrid, s_max: int, ch_blk, cw_blk, tile0_ref,
         s_glob = c * CHUNK + k_iota
         applied = jnp.logical_and(a > 0.0, s_glob < ncon)
         one_minus = 1.0 - a
-        q = jnp.where(applied, one_minus, 1.0)
-        s_incl = _sufprod_incl(q)
-        t_k = t_end / s_incl                                 # T before splat k
+        # ONE (K,P) reciprocal; suffix-product of 1/q so t_k, d_alpha's
+        # 1/(1-a) term, and t_start below are all multiplies (was 3 divides)
+        inv_q = 1.0 / jnp.where(applied, one_minus, 1.0)
+        s_inv = _sufprod_incl(inv_q)
+        t_k = t_end * s_inv                                  # T before splat k
         w = jnp.where(applied, a * t_k, 0.0)
         wm = w * m
 
@@ -772,8 +774,6 @@ def _bwd_kernel4(grid: TileGrid, s_max: int, ch_blk, cw_blk, tile0_ref,
         n1 = _rep(chunk[:, 1:2], pix)
         n2 = _rep(chunk[:, 2:3], pix)
         op_c = _rep(chunk[:, 20:21], pix)
-        a1u_c = _rep(chunk[:, 15:16], pix)
-        a2u_c = _rep(chunk[:, 19:20], pix)
 
         s_direct = (rgb0 * g_img[0] + rgb1 * g_img[1] + rgb2 * g_img[2]
                     + tex0 * g_tex[0] + tex1 * g_tex[1] + tex2 * g_tex[2]
@@ -787,7 +787,7 @@ def _bwd_kernel4(grid: TileGrid, s_max: int, ch_blk, cw_blk, tile0_ref,
             bs_k = bs_c + _mx(_tri_excl_upper(CHUNK), sw)
         else:
             bs_k = bs_c + _sufsum_excl(sw)
-        d_alpha = jnp.where(applied, t_k * s_k - bs_k / one_minus, 0.0)
+        d_alpha = jnp.where(applied, t_k * s_k - bs_k * inv_q, 0.0)
 
         x_pass = jnp.logical_and(x_raw_all >= 0.0,
                                  x_raw_all <= h_c - 1.0)
@@ -804,33 +804,33 @@ def _bwd_kernel4(grid: TileGrid, s_max: int, ch_blk, cw_blk, tile0_ref,
         d_op = r["g"] * dag
         # the winner's gaussian value IS r["g"]; surf_sel already encodes
         # the ellipse mask (arg_s = -1e30 outside -> sel false)
-        d_g = op_c * dag * r["g"]
+        d_g = op_c * d_op
         surf_sel = r["surf_sel"]
         dgs_eff = jnp.where(surf_sel, d_g, 0.0)
         d_u = -r["u"] * dgs_eff
         d_v = -r["v"] * dgs_eff
         dgc_eff = jnp.where(surf_sel, 0.0, d_g)
-        d_xy0 = (r["dpx"] / AA_SIGMA2) * dgc_eff
-        d_xy1 = (r["dpy"] / AA_SIGMA2) * dgc_eff
+        d_xy0 = ((1.0 / AA_SIGMA2) * r["dpx"]) * dgc_eff
+        d_xy1 = ((1.0 / AA_SIGMA2) * r["dpy"]) * dgc_eff
 
-        uvu_raw = 0.5 + a1u_c + t_hit * r["b1ud"]
-        uvv_raw = 0.5 + a2u_c + t_hit * r["b2ud"]
-        u_pass = jnp.logical_and(uvu_raw >= 0.0, uvu_raw <= 1.0)
-        v_pass = jnp.logical_and(uvv_raw >= 0.0, uvv_raw <= 1.0)
+        # uv raw coords come back from the response (computed for the clip
+        # there anyway); 1/tc and 1/nd likewise (divide deletion)
+        u_pass = jnp.logical_and(r["uvu_raw"] >= 0.0, r["uvu_raw"] <= 1.0)
+        v_pass = jnp.logical_and(r["uvv_raw"] >= 0.0, r["uvv_raw"] <= 1.0)
         d_uvu = jnp.where(u_pass, d_x * h_c, 0.0)
         d_uvv = jnp.where(v_pass, d_y * w_c, 0.0)
 
         kfac = REG_FAR / (REG_FAR - REG_NEAR)
-        tc = jnp.maximum(t_hit, REG_NEAR)
         d_t = w * g_depth
         d_t = d_t + jnp.where(t_hit >= REG_NEAR,
-                              d_m * kfac * REG_NEAR / (tc * tc), 0.0)
+                              d_m * (kfac * REG_NEAR)
+                              * r["invtc"] * r["invtc"], 0.0)
         d_t = d_t + d_u * r["b1d"] + d_v * r["b2d"]
         d_t = d_t + d_uvu * r["b1ud"] + d_uvv * r["b2ud"]
 
         nd_pass = jnp.abs(r["nd"]) >= 1e-9
-        d_an = d_t / r["safe_nd"]
-        d_nd = jnp.where(nd_pass, -t_hit / r["safe_nd"] * d_t, 0.0)
+        d_an = d_t * r["inv_nd"]
+        d_nd = jnp.where(nd_pass, -t_hit * d_an, 0.0)
 
         wfl = w * fl
         td0, td1, td2 = t_hit * d0, t_hit * d1, t_hit * d2
@@ -887,7 +887,7 @@ def _bwd_kernel4(grid: TileGrid, s_max: int, ch_blk, cw_blk, tile0_ref,
                     f_iota == f, _rep(lane_sum(v), F_REC), 0.0)
         drec_ref[0, pl.ds(base, CHUNK), :] = grad_chunk
 
-        t_start = t_end / s_incl[0:1, :]
+        t_start = t_end * s_inv[0:1, :]
         if MXU_LEVEL & 2:
             sums = _mx(_block_ones(CHUNK, 3),
                        jnp.concatenate([sw, w, wm], axis=0))
