@@ -103,12 +103,15 @@ def main():
         ratio = dt1 / dt2
         assert 0.5 < ratio < 2.0, \
             f"inconsistent timing across scales: {dt1} vs {dt2}"
-        return (H * W / 1e6) / dt2
+        scene_cfg = {"scene": scene_kind, "H": H, "W": W, "N": N,
+                     "s_max": cfg.s_max, "pair_cap": cfg.pair_cap,
+                     "overflow": int(metrics["overflow"][-1])}
+        return (H * W / 1e6) / dt2, scene_cfg
 
-    results = {}
+    results, scene_cfgs = {}, {}
     for renderer in ("pallas", "xla"):
         try:
-            results[renderer] = measure(renderer)
+            results[renderer], scene_cfgs["dense"] = measure(renderer)
         except Exception as e:
             import traceback
 
@@ -122,7 +125,7 @@ def main():
     # real scenes look like this; the dense number is the worst case)
     trained = None
     try:
-        trained = measure(best, "trained")
+        trained, scene_cfgs["trained"] = measure(best, "trained")
     except Exception as e:
         print(f"# trained-stats bench failed: {type(e).__name__}: {e}",
               flush=True)
@@ -134,6 +137,10 @@ def main():
         "renderer": best,
         "all": {k: round(v, 3) for k, v in results.items()},
         "trained_stats_mpix_s": round(trained, 3) if trained else None,
+        # measurement provenance (see DESIGN.md "Bench-provenance
+        # correction"): numbers are only comparable at equal scene configs
+        # with overflow=0
+        "scenes": scene_cfgs,
     }))
 
 

@@ -14,8 +14,12 @@ a Mosaic relayout feeding the texel matmul and ~3.4 µs in lane-padded
   8-term row FMA against wx (ch,1024).
 - charts stream from HBM per chunk (double-buffered DMA, as v1).
 
-Same inputs/outputs and bit-identical semantics as v1 (rasterize_pallas):
-records (T,S,F), packed charts (T, S·Cw', 128), counts; packed channel maps.
+Same inputs/outputs as v1 (rasterize_pallas): records (T,S,F), packed
+charts (T, S·Cw', 128), counts; packed channel maps. Outputs match v1 and
+the XLA tier within the parity-test tolerance (not bitwise): the m/reg
+channel computes the mapped depth via reciprocal-multiply
+(``invtc = safe_nd/numer`` then a multiply) where v1 uses a divide —
+~1 ulp apart.
 """
 
 from __future__ import annotations

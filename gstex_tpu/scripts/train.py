@@ -105,6 +105,9 @@ def add_common_args(p):
     p.add_argument("--experiment-name", default=None)
     p.add_argument("--steps-per-save", type=int, default=None)
     p.add_argument("--steps-per-eval-image", type=int, default=None)
+    p.add_argument("--vis", default=None,
+                   help="metric sinks, comma-separated: tensorboard / "
+                        "wandb / comet (reference --vis parity)")
     p.add_argument("--viewer", action="store_true",
                    help="serve the interactive viewer while training")
     p.add_argument("--viewer-port", type=int, default=7007)
@@ -157,6 +160,8 @@ def main(argv=None):
     if args.steps_per_eval_image is not None:
         method.trainer = dataclasses.replace(
             method.trainer, steps_per_eval_image=args.steps_per_eval_image)
+    if args.vis is not None:
+        method.trainer = dataclasses.replace(method.trainer, vis=args.vis)
 
     exp = args.experiment_name or Path(args.data).name
     ts = time.strftime("%Y-%m-%d_%H%M%S")

@@ -78,6 +78,10 @@ class TrainerConfig:
     # to cadence boundaries (log/rechart/eval/save) so observable behavior
     # is step-identical. 1 disables.
     steps_per_sync: int = 8
+    # comma-separated metric sinks: tensorboard / wandb / comet (the
+    # reference's --vis surface, ``utils/writer.py:304-534``); JSONL and
+    # console are always on. Unavailable sinks no-op with a notice.
+    vis: str = "tensorboard"
 
 
 class Trainer:
@@ -90,7 +94,7 @@ class Trainer:
         self.train_cache = train_cache
         self.eval_cache = eval_cache
         self.out_dir = Path(tcfg.output_dir)
-        self.writer = Writer(self.out_dir)
+        self.writer = Writer(self.out_dir, vis=tcfg.vis)
         self.state, self.tx = step_mod.init_state(
             mcfg, ocfg, params, buffers, jax.random.key(tcfg.seed))
         if tcfg.load_checkpoint:
@@ -262,7 +266,8 @@ class Trainer:
                     and step % tcfg.steps_per_eval_all_images == 0):
                 agg = self.eval_all(step)
                 self.writer.scalars(
-                    step, {f"eval_all_{k}": v for k, v in agg.items()})
+                    step, {f"eval_all_{k}": v for k, v in agg.items()
+                           if v is not None})
 
             if (tcfg.steps_per_save > 0 and step > 0
                     and step % tcfg.steps_per_save == 0):
@@ -327,7 +332,8 @@ class Trainer:
         out = self._eval(self.state, cam, bg)
         gt = model.composite_gt(self.eval_cache.device_image(i), bg)
         m = metrics_io.image_metrics(out["rgb"], gt)
-        self.writer.scalars(step, {f"eval_{k}": v for k, v in m.items()})
+        self.writer.scalars(step, {f"eval_{k}": v for k, v in m.items()
+                                   if v is not None})
         self.writer.image(step, "eval_rgb", np.asarray(out["rgb"]))
         return m
 
@@ -354,9 +360,12 @@ class Trainer:
             rows.append(metrics_io.image_metrics(out["rgb"], gt))
             if save_images:
                 self.writer.image(i, "eval_all_rgb", rgb_np)
-        agg = {k: float(np.mean([r[k] for r in rows])) for k in rows[0]}
+        # lpips is None (JSON null) when no weight npz exists — keep the
+        # key for a stable schema but skip the std aggregate
+        agg = {k: (float(np.mean([r[k] for r in rows]))
+                   if rows[0][k] is not None else None) for k in rows[0]}
         agg.update({f"{k}_std": float(np.std([r[k] for r in rows]))
-                    for k in rows[0]})
+                    for k in rows[0] if rows[0][k] is not None})
         agg["fps"] = len(rows) / t_render
         agg["num_rays_per_sec"] = (len(rows) * cam.height * cam.width
                                    / t_render)

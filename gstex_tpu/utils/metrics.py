@@ -5,8 +5,10 @@ Mirrors ``get_image_metrics_and_images`` (reference
 uint8 before metrics (1380-1381). LPIPS is the exact AlexNet LPIPS v0.1
 (``utils/lpips.py``, matching the reference's torchmetrics LPIPS); it
 needs a pretrained-weight npz — in this zero-egress environment none can
-be downloaded, so when no npz is found the key is omitted (never a
-stand-in number that would be incomparable to the reference's metric).
+be downloaded, so when no npz is found the key is reported as ``None``
+(an explicit ``lpips: null`` in eval JSON keeps the schema stable for
+downstream tables; never a stand-in number that would be incomparable to
+the reference's metric).
 """
 
 from __future__ import annotations
@@ -26,14 +28,12 @@ def quantize_uint8(img):
 
 def image_metrics(pred, gt) -> dict:
     pred_q = quantize_uint8(pred)
-    out = {
+    return {
         "psnr": float(_psnr(gt, pred_q)),
         "ssim": float(_ssim(gt, pred_q)),
+        # None (JSON null) when no weight npz is available — stable schema
+        "lpips": lpips(pred_q, gt),
     }
-    lp = lpips(pred_q, gt)
-    if lp is not None:
-        out["lpips"] = lp
-    return out
 
 
 def lpips(pred, gt):

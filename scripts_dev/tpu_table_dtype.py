@@ -27,7 +27,15 @@ gt = jnp.zeros((H, W, 3), jnp.float32)
 
 
 def run(dtype):
+    prev = rp4.TABLE_DTYPE
     rp4.TABLE_DTYPE = dtype
+    try:
+        return _run_inner(dtype)
+    finally:
+        rp4.TABLE_DTYPE = prev
+
+
+def _run_inner(dtype):
     cfg = model.GStexConfig(chart_pad=(8, 8), tile_h=32, tile_w=32,
                             pair_cap=1 << 19, s_max=512, pixel_num=1e6,
                             background_color="black", renderer="pallas")
