@@ -330,16 +330,43 @@ def render(
         from ..ops.cull import make_pair_cull
 
         cull_fn = make_pair_cull(jax.lax.stop_gradient(prep.geom), cam, grid)
-    bins = build_tile_bins(prep.centers, prep.extents, prep.depths, prep.valid,
-                           grid, pair_cap=cfg.pair_cap, s_max=cfg.s_max,
-                           cull_fn=cull_fn)
+    # the default pallas tier (v5) consumes the flat pair-major layout;
+    # the dense (T, s_max) lists back the older tiers, the XLA oracle, and
+    # the huge-chart fallback (see rasterize_pallas_api.use_flat_path)
+    from ..ops.rasterize_pallas_api import use_flat_path
+
+    use_flat = not extra and use_flat_path(
+        cfg.renderer, params.texture.shape[1:3], cfg.pair_cap,
+        grid.num_tiles)
+    if use_flat:
+        from ..ops.binning import build_tile_bins_flat
+
+        bins = build_tile_bins_flat(prep.centers, prep.extents, prep.depths,
+                                    prep.valid, grid, pair_cap=cfg.pair_cap,
+                                    s_cap=cfg.s_max, cull_fn=cull_fn)
+    else:
+        bins = build_tile_bins(prep.centers, prep.extents, prep.depths,
+                               prep.valid, grid, pair_cap=cfg.pair_cap,
+                               s_max=cfg.s_max, cull_fn=cull_fn)
     # texture albedo: SH2RGB(texture_dc) when sh_degree>0, else sigmoid
     # (gstex.py:1117-1121)
     if cfg.sh_degree > 0:
         texture = sh_ops.sh_to_rgb(params.texture)
     else:
         texture = jax.nn.sigmoid(params.texture)
-    if cfg.renderer.startswith("pallas") and not extra and eval_only:
+    if use_flat and eval_only:
+        from ..ops.rasterize_pallas_api import rasterize_pl5_eval
+
+        maps = rasterize_pl5_eval(prep.geom, texture, buffers.texture_hw,
+                                  bins, cam, grid, s_cap=cfg.s_max,
+                                  interpret="interpret" in cfg.renderer)
+    elif use_flat:
+        from ..ops.rasterize_pallas_api import rasterize_pl5
+
+        maps = rasterize_pl5(prep.geom, texture, buffers.texture_hw, bins,
+                             cam, grid, s_cap=cfg.s_max,
+                             interpret="interpret" in cfg.renderer)
+    elif cfg.renderer.startswith("pallas") and not extra and eval_only:
         from ..ops.rasterize_pallas_api import rasterize_pl_eval
 
         maps = rasterize_pl_eval(prep.geom, texture, buffers.texture_hw,

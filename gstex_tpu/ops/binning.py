@@ -60,6 +60,36 @@ class TileBins(NamedTuple):
     overflow: jax.Array     # () int32 — pairs dropped by pair_cap/s_max
 
 
+# slot alignment of per-tile segments in the flat pair-major layout: each
+# tile's segment starts at a multiple of this, so dynamic-offset DMAs of
+# (CHUNK, F) record slices and chart-grad blocks are tile-aligned on the
+# f32 (8, 128) HBM tiling. Must be a multiple of the kernels' CHUNK.
+SLOT_ALIGN = 16
+
+
+class FlatBins(NamedTuple):
+    """Flat pair-major splat lists: the dense (T, s_max) layout wastes
+    mean-count→max-count on every HBM buffer it touches (records gather,
+    pair-space chart grads, their segment reductions). Here pairs live in
+    ONE flat array ordered (tile, depth, id) with each tile's segment
+    start aligned to SLOT_ALIGN; every buffer is sized by the true pair
+    count (+ alignment), not ``T·s_max``. The CUDA reference uses the
+    same shape (sorted pair list + per-tile ranges — its
+    ``isect_offsets``); the v4 dense lists remain for the older kernels.
+
+    ``s_cap`` bounds only per-tile walk state (SMEM id window, VMEM
+    chart-grad scratch), not any HBM buffer.
+    """
+
+    gids: jax.Array         # (slot_cap,) int32 pair gaussian ids (0 in pad slots)
+    slot_valid: jax.Array   # (slot_cap,) bool — real pair (not alignment pad)
+    starts: jax.Array       # (num_tiles,) int32 SLOT_ALIGN-aligned segment starts
+    counts: jax.Array       # (num_tiles,) int32 true per-tile counts (pre-clamp)
+    num_tiles_hit: jax.Array  # (N,) int32 per-gaussian tile counts
+    total_pairs: jax.Array  # () int32 — true pair count (pre-cap)
+    overflow: jax.Array     # () int32 — pairs dropped by pair_cap/s_cap
+
+
 def tile_ranges(centers, extents, grid: TileGrid, valid):
     """Clamped inclusive-exclusive tile index ranges per gaussian."""
     tx0 = jnp.clip(jnp.floor((centers[:, 0] - extents[:, 0]) / grid.tile_w), 0, grid.ntx).astype(jnp.int32)
@@ -182,6 +212,81 @@ def build_tile_bins(
         counts=tile_counts,
         num_tiles_hit=counts,
         total_pairs=total,
+        overflow=overflow.astype(jnp.int32),
+    )
+
+
+def flat_slot_cap(pair_cap: int, num_tiles: int) -> int:
+    """Static flat-buffer capacity: every real pair + worst-case per-tile
+    alignment padding."""
+    return pair_cap + SLOT_ALIGN * num_tiles
+
+
+def build_tile_bins_flat(
+    centers: jax.Array,
+    extents: jax.Array,
+    depths: jax.Array,
+    valid: jax.Array,
+    grid: TileGrid,
+    pair_cap: int,
+    s_cap: int,
+    cull_fn=None,
+) -> FlatBins:
+    """Pair-major flat binning (see ``FlatBins``): same expansion, cull and
+    (tile, depth, id) sort as ``build_tile_bins``, but pairs land in one
+    flat slot array with SLOT_ALIGN-aligned per-tile segments instead of a
+    dense (T, s_max) matrix.
+
+    ``s_cap`` clamps per-tile counts (walk/scratch bound); clamped pairs
+    are counted in ``overflow`` exactly like the dense path's s_max.
+    """
+    n = centers.shape[0]
+    nt = grid.num_tiles
+    tx0, ty0, tw, counts = tile_ranges(centers, extents, grid, valid)
+    counts = jnp.where(depths > 1e-6, counts, 0)
+    offsets = jnp.cumsum(counts) - counts
+    total = offsets[-1] + counts[-1] if n > 0 else jnp.int32(0)
+
+    k = jnp.arange(pair_cap, dtype=jnp.int32)
+    gid = _pair_owner(counts, offsets, pair_cap)
+    local = k - offsets[gid]
+    w_g = jnp.maximum(tw[gid], 1)
+    ty = ty0[gid] + local // w_g
+    tx = tx0[gid] + local % w_g
+    tile = ty * grid.ntx + tx
+    pair_valid = k < total
+    if cull_fn is not None:
+        pair_valid = jnp.logical_and(pair_valid, cull_fn(gid, tx, ty))
+    tile = jnp.where(pair_valid, tile, nt)  # sentinel sorts last
+
+    depth_k = depths[gid]
+    tile_s, _, gid_s = jax.lax.sort((tile, depth_k, gid), num_keys=3)
+
+    tile_ids = jnp.arange(nt, dtype=jnp.int32)
+    seg0 = jnp.searchsorted(tile_s, tile_ids, side="left").astype(jnp.int32)
+    seg1 = jnp.searchsorted(tile_s, tile_ids, side="right").astype(jnp.int32)
+    tile_counts = seg1 - seg0
+    clamped = jnp.minimum(tile_counts, s_cap)
+    padded = -(-clamped // SLOT_ALIGN) * SLOT_ALIGN
+    starts = (jnp.cumsum(padded) - padded).astype(jnp.int32)
+
+    rank = k - seg0[jnp.minimum(tile_s, nt - 1)]
+    slot_cap = flat_slot_cap(pair_cap, nt)
+    in_range = jnp.logical_and(tile_s < nt, rank < s_cap)
+    slot = jnp.where(in_range, starts[jnp.minimum(tile_s, nt - 1)] + rank,
+                     slot_cap)
+    gids = jnp.zeros((slot_cap,), jnp.int32).at[slot].set(gid_s, mode="drop")
+    slot_valid = jnp.zeros((slot_cap,), bool).at[slot].set(True, mode="drop")
+
+    overflow = jnp.maximum(total - pair_cap, 0) + jnp.sum(
+        jnp.maximum(tile_counts - s_cap, 0))
+    return FlatBins(
+        gids=gids,
+        slot_valid=slot_valid,
+        starts=starts,
+        counts=tile_counts,
+        num_tiles_hit=counts,
+        total_pairs=total.astype(jnp.int32),
         overflow=overflow.astype(jnp.int32),
     )
 

@@ -14,7 +14,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from .binning import TileBins, TileGrid
+from .binning import FlatBins, TileBins, TileGrid, flat_slot_cap
 from .camera import Camera
 from .surfel import SplatGeom
 from . import rasterize_pallas as rp
@@ -22,6 +22,7 @@ from . import rasterize_pallas_bwd as rpb
 from . import rasterize_pallas2 as rp2
 from . import rasterize_pallas3 as rp3
 from . import rasterize_pallas4 as rp4
+from . import rasterize_pallas5 as rp5
 
 
 def _impls(version):
@@ -182,6 +183,226 @@ def _core4_bwd(grid, chart_pad, interpret, res, g_out):
 
 
 _core4.defvjp(_core4_fwd, _core4_bwd)
+
+
+# ---------------------------------------------------------------------------
+# v5: flat pair-major path — every pair buffer count-limited (no T*s_max)
+# ---------------------------------------------------------------------------
+
+# The flat backward materializes pair-space chart grads for ALL slots in one
+# buffer (slot_cap × per-pair chart block). For the production texel budgets
+# (chart pads ≲ 16) that is a few hundred MB — far below the dense path's
+# T·s_max equivalent. But auto-resolved LOD pads (~90x90 charts on tiny
+# scenes) make the per-pair block enormous; above this cap the caller
+# falls back to the dense v4 path, whose tile-batched scan bounds the
+# working set (D_CHARTS_BYTES_CAP) at the cost of s_max-shaped buffers.
+FLAT_DCHARTS_BYTES_CAP = 1 << 31   # 2 GB
+
+
+def flat_dcharts_bytes(chart_pad, pair_cap: int, num_tiles: int) -> int:
+    """Static size of the v5 backward's pair-space chart-grad buffer."""
+    slot_cap = flat_slot_cap(pair_cap, num_tiles)
+    ch_blk = rp4._ch_blk_of(chart_pad[0])
+    hsub, n_hb = rp4._chart_blocks(ch_blk)
+    pack_n = rp.CH3_PAD // rp4._cg_lanes(hsub)
+    cw_blk = -(-chart_pad[1] // 8) * 8
+    return slot_cap * n_hb // pack_n * cw_blk * rp.CH3_PAD * 4
+
+
+def use_flat_path(renderer: str, chart_pad, pair_cap: int,
+                  num_tiles: int) -> bool:
+    """Route ``renderer="pallas"`` to the flat v5 path unless its backward
+    buffer would blow the memory cap (huge auto-resolved chart pads)."""
+    if renderer not in ("pallas", "pallas5", "pallas_interpret",
+                        "pallas5_interpret"):
+        return False
+    return (flat_dcharts_bytes(chart_pad, pair_cap, num_tiles)
+            <= FLAT_DCHARTS_BYTES_CAP)
+
+
+def _flat_inputs5(records_n, fbins: FlatBins, s_cap, cam_info):
+    """Gather wide records into slot order (with one tile-window of end
+    padding for the per-tile whole-window DMA) and pad the id list so any
+    in-kernel SMEM window DMA stays in bounds."""
+    slot_cap = fbins.gids.shape[0]
+    ids_cap = rp5.ids_capacity(slot_cap, s_cap)
+    gids_padded = jnp.pad(fbins.gids, (0, ids_cap - slot_cap))
+    rec_flat = records_n[gids_padded[:rp5.rec_rows(slot_cap, s_cap)]]
+    counts = jnp.minimum(fbins.counts, s_cap)
+    return rp5.PallasInputs5(rec_flat, gids_padded, fbins.starts, counts,
+                             cam_info)
+
+
+def _tile_of_slot(starts, slot_cap):
+    """Owning tile per slot. Consecutive empty tiles share a start; the
+    scatter-max keeps the largest tile index there, which is the only one
+    of the run whose segment can be non-empty."""
+    nt = starts.shape[0]
+    t_idx = jnp.arange(nt, dtype=jnp.int32)
+    mark = jnp.zeros((slot_cap,), jnp.int32).at[starts].max(
+        t_idx + 1, mode="drop")
+    return jnp.maximum(jax.lax.cummax(mark) - 1, 0)
+
+
+def _bwd_segments(fbins_gids, slot_valid, starts, counts, ncontrib, s_cap,
+                  num_seg):
+    """Per-slot segment ids for the flat grad reductions: slots the
+    count-limited backward walk never wrote (post-saturation chunks, tail
+    padding) route to the sentinel segment ``num_seg`` and are dropped."""
+    slot_cap = fbins_gids.shape[0]
+    nt = starts.shape[0]
+    ncon_max = jnp.max(ncontrib.reshape(nt, -1), axis=1)
+    walked = jnp.minimum(jnp.minimum(counts, s_cap), ncon_max + 1)
+    wchunks = -(-walked // rp5.CHUNK) * rp5.CHUNK        # aligned extent
+    tile_of = _tile_of_slot(starts, slot_cap)
+    rank = jnp.arange(slot_cap, dtype=jnp.int32) - starts[tile_of]
+    ok = jnp.logical_and(rank < wchunks[tile_of], slot_valid)
+    return jnp.where(ok, fbins_gids, num_seg)
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(0, 1, 2, 3))
+def _core5(grid: TileGrid, chart_pad, interpret, s_cap, records_n, gids,
+           slot_valid, table, starts, counts, cam_info):
+    fb = FlatBins(gids, slot_valid, starts, counts, None, None, None)
+    maps, _ = rp5.rasterize_pallas5_fwd(
+        grid, chart_pad, s_cap,
+        _flat_inputs5(records_n, fb, s_cap, cam_info), table,
+        interpret=interpret)
+    return _repack(maps)
+
+
+def _core5_fwd(grid, chart_pad, interpret, s_cap, records_n, gids,
+               slot_valid, table, starts, counts, cam_info):
+    fb = FlatBins(gids, slot_valid, starts, counts, None, None, None)
+    inputs = _flat_inputs5(records_n, fb, s_cap, cam_info)
+    maps, ncontrib = rp5.rasterize_pallas5_fwd(
+        grid, chart_pad, s_cap, inputs, table, interpret=interpret)
+    out = _repack(maps)
+    return out, (records_n, gids, slot_valid, table, starts, counts,
+                 cam_info, inputs, out, ncontrib)
+
+
+def _core5_bwd(grid, chart_pad, interpret, s_cap, res, g_out):
+    (records_n, gids, slot_valid, table, starts, counts, cam_info, inputs,
+     out, ncontrib) = res
+    pr = grid.tile_h * grid.tile_w // 128
+    gmaps = g_out[:, : rpb.NG * pr, :]
+    d_rec_flat, d_ch_flat = rp5.rasterize_pallas5_bwd(
+        grid, chart_pad, s_cap, inputs, table, out, ncontrib, gmaps,
+        interpret=interpret)
+
+    num_seg = records_n.shape[0]
+    seg = _bwd_segments(gids, slot_valid, starts, counts, ncontrib, s_cap,
+                        num_seg)
+    d_records_n = jax.ops.segment_sum(d_rec_flat, seg,
+                                      num_segments=num_seg + 1)[:num_seg]
+
+    slot_cap = gids.shape[0]
+    ch_blk = rp4._ch_blk_of(chart_pad[0])
+    hsub, n_hb = rp4._chart_blocks(ch_blk)
+    cg = rp4._cg_lanes(hsub)
+    pack_n = rp.CH3_PAD // cg
+    cw_blk = -(-chart_pad[1] // 8) * 8
+    units = slot_cap * n_hb
+    d = d_ch_flat[..., :pack_n * cg]
+    d = d.reshape(units // pack_n, cw_blk, pack_n, cg)
+    d = d.transpose(0, 2, 1, 3).reshape(slot_cap, n_hb * cw_blk * cg)
+    n_gauss = table.shape[0] // (n_hb * cw_blk)
+    d_g = jax.ops.segment_sum(d, seg, num_segments=num_seg + 1)[:n_gauss]
+    d_g = d_g.reshape(-1, cw_blk, cg)
+    d_table = jnp.pad(d_g, ((0, 0), (0, 0), (0, table.shape[1] - cg)))
+    d_table = d_table.reshape(table.shape)
+
+    f0 = lambda x: np.zeros(x.shape, jax.dtypes.float0)
+    return (d_records_n, f0(gids), f0(slot_valid), d_table, f0(starts),
+            f0(counts), jnp.zeros_like(cam_info))
+
+
+_core5.defvjp(_core5_fwd, _core5_bwd)
+
+
+def _wide_records(geom: SplatGeom, cam: Camera, texture_hw):
+    records = rp.assemble_records(geom, cam.c2w[:3, 3], texture_hw)
+    return jnp.pad(records, ((0, 0), (0, rp5.REC_W - records.shape[1])))
+
+
+def rasterize_pl5(
+    geom: SplatGeom,
+    texture: jax.Array,
+    texture_hw: jax.Array,
+    fbins: FlatBins,
+    cam: Camera,
+    grid: TileGrid,
+    s_cap: int,
+    px_offset=None,
+    interpret: bool = False,
+):
+    """Flat-path Pallas render; same outputs as ``rasterize.rasterize``."""
+    chart_pad = (texture.shape[1], texture.shape[2])
+    if (grid.tile_h * grid.tile_w) % 128 != 0:
+        raise ValueError("pallas v5 needs tile_h*tile_w to be a multiple of "
+                         "128 (pixels are packed onto 128 lanes)")
+    pr = grid.tile_h * grid.tile_w // 128
+    packed = rp4.pack_charts_v4(texture)
+    table = packed.reshape(-1, packed.shape[-1])
+    records_n = _wide_records(geom, cam, texture_hw)
+    if px_offset is None:
+        px_offset = jnp.zeros((2,), jnp.float32)
+    out = _core5(grid, chart_pad, interpret, s_cap, records_n, fbins.gids,
+                 fbins.slot_valid, table, fbins.starts, fbins.counts,
+                 rp._cam_info(cam, px_offset))
+
+    def ch(name):
+        i = rp.CH_NAMES.index(name)
+        return rp.untile_packed(out[:, i * pr:(i + 1) * pr, :], grid)
+
+    return {
+        "img": jnp.stack([ch("img0"), ch("img1"), ch("img2")], axis=-1),
+        "texture_rgb": jnp.stack([ch("tex0"), ch("tex1"), ch("tex2")],
+                                 axis=-1),
+        "depth": ch("depth"),
+        "alpha": ch("alpha"),
+        "normal": jnp.stack([ch("n0"), ch("n1"), ch("n2")], axis=-1),
+        "reg": ch("reg"),
+    }
+
+
+def rasterize_pl5_eval(
+    geom: SplatGeom,
+    texture: jax.Array,
+    texture_hw: jax.Array,
+    fbins: FlatBins,
+    cam: Camera,
+    grid: TileGrid,
+    s_cap: int,
+    px_offset=None,
+    interpret: bool = False,
+):
+    """Flat-path forward-only render (no VJP, no residuals)."""
+    chart_pad = (texture.shape[1], texture.shape[2])
+    if (grid.tile_h * grid.tile_w) % 128 != 0:
+        raise ValueError("pallas v5 needs tile_h*tile_w to be a multiple of "
+                         "128 (pixels are packed onto 128 lanes)")
+    packed = rp4.pack_charts_v4(texture)
+    table = packed.reshape(-1, packed.shape[-1])
+    records_n = _wide_records(geom, cam, texture_hw)
+    if px_offset is None:
+        px_offset = jnp.zeros((2,), jnp.float32)
+    inputs = _flat_inputs5(records_n, fbins, s_cap,
+                           rp._cam_info(cam, px_offset))
+    maps = rp5.rasterize_pallas5_eval(grid, chart_pad, s_cap, inputs, table,
+                                      interpret=interpret)
+
+    def ch(name):
+        return rp.untile_packed(maps[name], grid)
+
+    return {
+        "img": jnp.stack([ch("img0"), ch("img1"), ch("img2")], axis=-1),
+        "texture_rgb": jnp.stack([ch("tex0"), ch("tex1"), ch("tex2")],
+                                 axis=-1),
+        "depth": ch("depth"),
+        "alpha": ch("alpha"),
+    }
 
 
 def rasterize_pl_eval(

@@ -74,14 +74,34 @@ def _render_band(cfg, params, buffers, cam, step, axis_name, bgrid, band_h,
 
         cull_fn = make_pair_cull(jax.lax.stop_gradient(prep.geom), cam,
                                  bgrid, px_offset=(jnp.float32(0.0), y0))
-    bins = build_tile_bins(centers, prep.extents, prep.depths, prep.valid,
-                           bgrid, pair_cap=cfg.pair_cap, s_max=cfg.s_max,
-                           cull_fn=cull_fn)
+    from ..ops.rasterize_pallas_api import use_flat_path
+
+    use_flat = use_flat_path(cfg.renderer, params.texture.shape[1:3],
+                             cfg.pair_cap, bgrid.num_tiles)
+    if use_flat:
+        from ..ops.binning import build_tile_bins_flat
+
+        bins = build_tile_bins_flat(centers, prep.extents, prep.depths,
+                                    prep.valid, bgrid,
+                                    pair_cap=cfg.pair_cap, s_cap=cfg.s_max,
+                                    cull_fn=cull_fn)
+    else:
+        bins = build_tile_bins(centers, prep.extents, prep.depths,
+                               prep.valid, bgrid, pair_cap=cfg.pair_cap,
+                               s_max=cfg.s_max, cull_fn=cull_fn)
     if cfg.sh_degree > 0:
         texture = sh_ops.sh_to_rgb(params.texture)
     else:
         texture = jax.nn.sigmoid(params.texture)
-    if cfg.renderer.startswith("pallas"):
+    if use_flat:
+        from ..ops.rasterize_pallas_api import (rasterize_pl5,
+                                                rasterize_pl5_eval)
+
+        interp = "interpret" in cfg.renderer
+        fn = rasterize_pl5_eval if eval_only else rasterize_pl5
+        maps = fn(prep.geom, texture, buffers.texture_hw, bins, cam, bgrid,
+                  s_cap=cfg.s_max, px_offset=px_offset, interpret=interp)
+    elif cfg.renderer.startswith("pallas"):
         from ..ops.rasterize_pallas_api import rasterize_pl, rasterize_pl_eval
 
         interp = "interpret" in cfg.renderer

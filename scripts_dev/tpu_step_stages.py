@@ -12,8 +12,12 @@ H = W = 800
 N = 50_000
 cam = orbit_camera(H, W, dist=4.0)
 gt = jnp.zeros((H, W, 3), jnp.float32)
+import os as _os
+
+_S_MAX = int(_os.environ.get(
+    "S_MAX", "2048" if _os.environ.get("SCENE") == "trained" else "1024"))
 cfg = model.GStexConfig(chart_pad=(8, 8), tile_h=32, tile_w=32,
-                        pair_cap=1 << 19, s_max=512, pixel_num=1e6,
+                        pair_cap=1 << 19, s_max=_S_MAX, pixel_num=1e6,
                         background_color="black", renderer="pallas")
 
 @jax.jit

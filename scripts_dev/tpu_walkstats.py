@@ -14,10 +14,13 @@ from gstex_tpu.ops import rasterize_pallas as rp
 from gstex_tpu.ops import rasterize_pallas3 as rp3
 from gstex_tpu.ops import rasterize_pallas4 as rp4
 
+import os
+
 N = 50_000
 H = W = 800
+_S_MAX = int(os.environ.get("S_MAX", "2048" if os.environ.get("SCENE") == "trained" else "1024"))
 cfg = model.GStexConfig(chart_pad=(8, 8), tile_h=32, tile_w=32,
-                        pair_cap=1 << 19, s_max=512, pixel_num=1e6,
+                        pair_cap=1 << 19, s_max=_S_MAX, pixel_num=1e6,
                         background_color="black")
 
 @jax.jit

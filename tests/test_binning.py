@@ -97,3 +97,38 @@ def test_coverage_matches_sort_path():
     bt = build_tile_bins(*args, pair_cap=8192, s_max=4, method="sort")
     np.testing.assert_array_equal(np.asarray(at.ids), np.asarray(bt.ids))
     np.testing.assert_array_equal(np.asarray(at.mask), np.asarray(bt.mask))
+
+
+def test_flat_bins_match_dense():
+    """The flat pair-major layout holds exactly the dense lists' pairs, at
+    SLOT_ALIGN-aligned per-tile segments, same order, same overflow."""
+    from gstex_tpu.ops.binning import SLOT_ALIGN, build_tile_bins_flat
+
+    scene, cam, prep = _prepared(n=200, h=96, w=128)
+    grid = TileGrid(height=96, width=128, tile_h=16, tile_w=16)
+    args = (prep.centers, prep.extents, prep.depths, prep.valid, grid)
+    for s_cap in (64, 8):   # uncapped and truncating
+        dense = build_tile_bins(*args, pair_cap=8192, s_max=s_cap)
+        flat = build_tile_bins_flat(*args, pair_cap=8192, s_cap=s_cap)
+        np.testing.assert_array_equal(np.asarray(flat.counts),
+                                      np.asarray(dense.counts))
+        assert int(flat.overflow) == int(dense.overflow)
+        assert int(flat.total_pairs) == int(dense.total_pairs)
+        starts = np.asarray(flat.starts)
+        counts = np.minimum(np.asarray(flat.counts), s_cap)
+        gids = np.asarray(flat.gids)
+        sval = np.asarray(flat.slot_valid)
+        d_ids = np.asarray(dense.ids)
+        d_mask = np.asarray(dense.mask)
+        assert (starts % SLOT_ALIGN == 0).all()
+        end = 0
+        for t in range(grid.num_tiles):
+            assert starts[t] == end, "segments must be gap-free"
+            c = counts[t]
+            np.testing.assert_array_equal(gids[starts[t]:starts[t] + c],
+                                          d_ids[t][d_mask[t]])
+            assert sval[starts[t]:starts[t] + c].all()
+            pad_end = starts[t] + -(-c // SLOT_ALIGN) * SLOT_ALIGN
+            assert not sval[starts[t] + c:pad_end].any()
+            end = pad_end
+        assert not sval[end:].any()

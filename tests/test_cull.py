@@ -10,6 +10,7 @@ number of pairs on anisotropic scenes.
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from gstex_tpu.data.synthetic import orbit_camera, random_scene
 from gstex_tpu.ops.binning import TileGrid, build_tile_bins
@@ -89,6 +90,7 @@ def test_cull_gradients_identical():
                                    atol=1e-6, rtol=1e-5, err_msg=name)
 
 
+@pytest.mark.slow
 def test_cull_never_drops_live_pairs_bruteforce():
     """Every pair the cull drops has zero alpha at every pixel of its tile."""
     from gstex_tpu.ops.camera import camera_origin, pixel_ray_dirs

@@ -59,6 +59,7 @@ def dataset_dir(tmp_path_factory):
     return root
 
 
+@pytest.mark.slow
 def test_cli_train_eval_export(dataset_dir, tmp_path):
     from gstex_tpu.scripts import eval as eval_cli
     from gstex_tpu.scripts import export as export_cli
@@ -97,6 +98,7 @@ def test_cli_train_eval_export(dataset_dir, tmp_path):
     assert (tmp_path / "m.ply").exists()
 
 
+@pytest.mark.slow
 def test_cli_resume(dataset_dir, tmp_path):
     from gstex_tpu.scripts import train as train_cli
 
@@ -120,6 +122,7 @@ def test_cli_resume(dataset_dir, tmp_path):
     assert "step-000000019" in ckpt2.name or "step-000000020" in ckpt2.name
 
 
+@pytest.mark.slow
 def test_cli_render_camera_path(dataset_dir, tmp_path):
     from gstex_tpu.scripts import render as render_cli
     from gstex_tpu.scripts import train as train_cli
@@ -159,6 +162,7 @@ def test_cli_render_camera_path(dataset_dir, tmp_path):
     assert arr.shape == (40, 48, 3)
 
 
+@pytest.mark.slow
 def test_cli_parity_quick(dataset_dir, tmp_path):
     """gstex-parity (VERDICT r1 item 5): the Table-1 parity harness runs
     end-to-end — config-1 gradcheck (pallas vs XLA oracle, 2DGS mode) must

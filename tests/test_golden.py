@@ -44,7 +44,8 @@ def _render(render_fn, scene, cam, diff):
                      cam, GRID)
 
 
-@pytest.mark.parametrize("tier", ["xla", "pallas"])
+@pytest.mark.parametrize(
+    "tier", ["xla", pytest.param("pallas", marks=pytest.mark.slow)])
 def test_rasterize_matches_golden(tier):
     golden = dict(np.load(GOLDEN))
     scene, cam = _scene_cam()

@@ -3,6 +3,7 @@
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from gstex_tpu.data.synthetic import orbit_camera, random_scene
 from gstex_tpu.models import gstex as model
@@ -35,6 +36,7 @@ def test_chart_budget():
                                1.0 / (2 * 3.0 * l0), rtol=1e-5)
 
 
+@pytest.mark.slow
 def test_auto_pad_lod_budget():
     """VERDICT r1 item 2: a 128-Gaussian scene with pixel_num=1e6 (the
     blender-lod sweep's smallest init, ``scripts/blender_lod.py:26``) must
@@ -137,6 +139,7 @@ def test_train_steps_reduce_loss():
     assert np.isfinite(losses).all()
 
 
+@pytest.mark.slow
 def test_rechart_step_runs():
     params, buffers = make_model(n=48)
     ocfg = optim.OptimConfig()
@@ -203,6 +206,7 @@ def test_trainer_nan_gate(tmp_path):
     assert d["params"]["means"]["finite_frac"] < 1.0
 
 
+@pytest.mark.slow
 def test_trainer_eval_all_cadence(tmp_path):
     """steps_per_eval_all_images runs the full-eval sweep on cadence
     (was a dead knob in round 1)."""
@@ -230,6 +234,7 @@ def test_trainer_eval_all_cadence(tmp_path):
     assert steps and all(s % 2 == 0 for s in steps)
 
 
+@pytest.mark.slow
 def test_trainer_capacity_growth(tmp_path):
     from gstex_tpu.data.manager import FullImageCache
     from gstex_tpu.data.synthetic import orbit_camera

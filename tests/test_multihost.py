@@ -17,6 +17,7 @@ from pathlib import Path
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 from jax.sharding import Mesh
 
 from gstex_tpu.data.synthetic import orbit_camera, random_scene
@@ -55,6 +56,7 @@ def _single_process_result():
             "means_sum": float(jnp.abs(new_state.params.means).sum())}
 
 
+@pytest.mark.slow
 def test_two_process_multihost(tmp_path):
     port = _free_port()
     out_path = tmp_path / "result.json"

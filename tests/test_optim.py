@@ -9,6 +9,7 @@ accumulation N averages N grads and applies one update every N steps).
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 import optax
 
 from gstex_tpu.data.synthetic import random_scene
@@ -60,6 +61,7 @@ def _tiny_params():
     return cfg, params
 
 
+@pytest.mark.slow
 def test_grad_accumulation_updates_every_k():
     """texture group with accumulation 2: updates land every 2nd step and
     equal one Adam step on the mean grad; other groups update every step."""

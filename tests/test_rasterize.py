@@ -124,6 +124,7 @@ def test_gradients_match_oracle():
             assert np.abs(b).max() > 0, f"oracle grad {k} is all zero"
 
 
+@pytest.mark.slow
 def test_gradients_fp64_exact():
     """In fp64 the hand-derived VJP must equal oracle autodiff to ~1e-12.
 

@@ -6,6 +6,7 @@ import dataclasses
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 from jax.sharding import Mesh
 
 from gstex_tpu.data.synthetic import orbit_camera, random_scene
@@ -64,6 +65,7 @@ def test_sharded_train_matches_single():
                                np.asarray(s2.params.texture), atol=1e-5)
 
 
+@pytest.mark.slow
 def test_sharded_pallas_matches_single():
     """The fast path: Pallas v4 kernels (interpret mode on CPU) under
     shard_map — train step and eval render must match the single-device
@@ -95,6 +97,7 @@ def test_sharded_pallas_matches_single():
                                np.asarray(s2.params.texture), atol=1e-5)
 
 
+@pytest.mark.slow
 def test_sharded_scan_matches_sharded_steps():
     """Scanned multi-chip training == the same sequence of sharded steps."""
     from gstex_tpu.ops.camera import stack_cameras
@@ -123,6 +126,7 @@ def test_sharded_scan_matches_sharded_steps():
     assert int(s_scan.step) == n
 
 
+@pytest.mark.slow
 def test_batch_sharded_matches_mean_grads():
     """Camera-batch DP on a 2-D (data=2, tile=4) mesh (VERDICT r1 item 9):
     one batched step == one optimizer update from the MEAN of the two
@@ -159,6 +163,7 @@ def test_batch_sharded_matches_mean_grads():
     assert int(s2.step) == 1
 
 
+@pytest.mark.slow
 def test_trainer_multidevice(tmp_path):
     """End-to-end: Trainer with num_devices=8 runs the shard_map step."""
     from gstex_tpu.data.manager import FullImageCache

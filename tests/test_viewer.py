@@ -62,6 +62,7 @@ def test_page_and_state(viewer):
     assert st["texel_count"] > 0
 
 
+@pytest.mark.slow
 def test_render_roundtrip(viewer):
     _post("/render", {"camera": _camera_dict(), "output": "rgb"})
     jpeg = None
@@ -86,6 +87,7 @@ def test_pause_resume(viewer):
     assert r["paused"] is False
 
 
+@pytest.mark.slow
 def test_paint_over_http(viewer):
     cam = _camera_dict()
     _post("/control", {"action": "set_line", "rgb": [0, 255, 0], "width": 3})
@@ -138,6 +140,7 @@ def test_render_panel_keyframes_and_export(viewer, tmp_path):
     assert len(r["camera_path"]["camera_path"]) == 5
 
 
+@pytest.mark.slow
 def test_control_panel_crop_and_colormap(viewer):
     """Control panel: crop box hides gaussians; colormap/max-res settings
     round-trip (reference viewer/control_panel.py)."""
