@@ -242,6 +242,7 @@ def build_tile_bins_flat(
     """
     n = centers.shape[0]
     nt = grid.num_tiles
+    assert pair_cap <= 1 << 24, "f32-packed offsets need pair_cap <= 2^24"
     tx0, ty0, tw, counts = tile_ranges(centers, extents, grid, valid)
     counts = jnp.where(depths > 1e-6, counts, 0)
     offsets = jnp.cumsum(counts) - counts
@@ -249,17 +250,32 @@ def build_tile_bins_flat(
 
     k = jnp.arange(pair_cap, dtype=jnp.int32)
     gid = _pair_owner(counts, offsets, pair_cap)
-    local = k - offsets[gid]
-    w_g = jnp.maximum(tw[gid], 1)
-    ty = ty0[gid] + local // w_g
-    tx = tx0[gid] + local % w_g
+    # ONE per-pair row gather for everything per-gaussian the pipeline
+    # needs — AABB origin/width, pair offset, sort depth, and the cull's
+    # coefficient table. Separate (N,) gathers measured ~6x slower at 512k
+    # pair slots on-chip (scripts_dev/tpu_binstages.py); all int columns
+    # are small enough to round-trip f32 exactly (pair_cap <= 2^24).
+    cols = [tx0.astype(jnp.float32), ty0.astype(jnp.float32),
+            tw.astype(jnp.float32), offsets.astype(jnp.float32), depths]
+    fused_cull = cull_fn is not None and hasattr(cull_fn, "table")
+    table = jnp.stack(cols, axis=1)
+    if fused_cull:
+        table = jnp.concatenate([table, cull_fn.table], axis=1)
+    row = table[gid]
+    local = k - row[:, 3].astype(jnp.int32)
+    w_g = jnp.maximum(row[:, 2].astype(jnp.int32), 1)
+    ty = row[:, 1].astype(jnp.int32) + local // w_g
+    tx = row[:, 0].astype(jnp.int32) + local % w_g
     tile = ty * grid.ntx + tx
+    depth_k = row[:, 4]
     pair_valid = k < total
-    if cull_fn is not None:
+    if fused_cull:
+        pair_valid = jnp.logical_and(pair_valid,
+                                     cull_fn.eval_rows(row[:, 5:], tx, ty))
+    elif cull_fn is not None:
         pair_valid = jnp.logical_and(pair_valid, cull_fn(gid, tx, ty))
     tile = jnp.where(pair_valid, tile, nt)  # sentinel sorts last
 
-    depth_k = depths[gid]
     tile_s, _, gid_s = jax.lax.sort((tile, depth_k, gid), num_keys=3)
 
     tile_ids = jnp.arange(nt, dtype=jnp.int32)
@@ -270,13 +286,17 @@ def build_tile_bins_flat(
     padded = -(-clamped // SLOT_ALIGN) * SLOT_ALIGN
     starts = (jnp.cumsum(padded) - padded).astype(jnp.int32)
 
-    rank = k - seg0[jnp.minimum(tile_s, nt - 1)]
+    # one (nt, 2) row gather for (segment start, slot start)
+    ss = jnp.stack([seg0, starts], axis=1)[jnp.minimum(tile_s, nt - 1)]
+    rank = k - ss[:, 0]
     slot_cap = flat_slot_cap(pair_cap, nt)
     in_range = jnp.logical_and(tile_s < nt, rank < s_cap)
-    slot = jnp.where(in_range, starts[jnp.minimum(tile_s, nt - 1)] + rank,
-                     slot_cap)
-    gids = jnp.zeros((slot_cap,), jnp.int32).at[slot].set(gid_s, mode="drop")
-    slot_valid = jnp.zeros((slot_cap,), bool).at[slot].set(True, mode="drop")
+    slot = jnp.where(in_range, ss[:, 1] + rank, slot_cap)
+    # single scatter: store gid+1 so validity rides along (0 = empty slot)
+    g1 = jnp.zeros((slot_cap,), jnp.int32).at[slot].set(gid_s + 1,
+                                                        mode="drop")
+    gids = jnp.maximum(g1 - 1, 0)
+    slot_valid = g1 > 0
 
     overflow = jnp.maximum(total - pair_cap, 0) + jnp.sum(
         jnp.maximum(tile_counts - s_cap, 0))

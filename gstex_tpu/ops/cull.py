@@ -98,14 +98,14 @@ def make_pair_cull(geom: SplatGeom, cam: Camera, grid: TileGrid,
         geom.xy[:, 0], geom.xy[:, 1],
     ], axis=1)                                                # (N, 18)
 
-    def cull_fn(gid: jax.Array, tx: jax.Array, ty: jax.Array) -> jax.Array:
+    def eval_rows(row: jax.Array, tx: jax.Array, ty: jax.Array) -> jax.Array:
+        """Evaluate the cull on pre-gathered table rows (P, 18). Exposed so
+        the binning stage can fuse this table into its single per-pair row
+        gather (separate gathers measured ~6x slower at 512k pairs)."""
         # Lane layout: pairs ride the LANE axis, the 4 rect corners the
         # sublane axis — (4, P) arrays. The transposed form ((P, 4),
         # corners minor) runs every corner op at 4/128 lane utilization on
         # TPU (~30x slower at 512k pairs; measured, scripts_dev/tpu_binflat)
-        shape = gid.shape
-        gid = gid.reshape(-1)
-        row = table[gid]                                      # (P, 18)
 
         def coef(c):
             return row[:, c][None, :]                         # (1, P)
@@ -115,9 +115,9 @@ def make_pair_cull(geom: SplatGeom, cam: Camera, grid: TileGrid,
         # (pixel centers sit at integer px; +0.5 enters in the ray dirs).
         # Using the full half-open rect (not just center points) is
         # conservative for edge tiles.
-        x0 = tx.reshape(-1).astype(jnp.float32) * grid.tile_w - 0.5 + off_x
+        x0 = tx.astype(jnp.float32) * grid.tile_w - 0.5 + off_x
         x1 = x0 + grid.tile_w
-        y0 = ty.reshape(-1).astype(jnp.float32) * grid.tile_h - 0.5 + off_y
+        y0 = ty.astype(jnp.float32) * grid.tile_h - 0.5 + off_y
         y1 = y0 + grid.tile_h
 
         # camera-frame corner dir scalars ((px+0.5-c)/f)
@@ -158,7 +158,15 @@ def make_pair_cull(geom: SplatGeom, cam: Camera, grid: TileGrid,
         t_dead = jnp.max(t, axis=0) <= 1e-6
 
         dead = jnp.logical_or(t_dead, jnp.logical_and(surf_dead, screen_dead))
-        keep = jnp.logical_not(jnp.logical_and(same_sign, dead))
+        return jnp.logical_not(jnp.logical_and(same_sign, dead))
+
+    def cull_fn(gid: jax.Array, tx: jax.Array, ty: jax.Array) -> jax.Array:
+        shape = gid.shape
+        row = table[gid.reshape(-1)]                          # (P, 18)
+        keep = eval_rows(row, tx.reshape(-1), ty.reshape(-1))
         return keep.reshape(shape)
 
+    # the binning stage fuses this table into its own per-pair row gather
+    cull_fn.table = table
+    cull_fn.eval_rows = eval_rows
     return cull_fn

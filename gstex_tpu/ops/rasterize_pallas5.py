@@ -60,6 +60,11 @@ from .rasterize_pallas4 import (ECH_NAMES, H_SUB, MXU_LEVEL, NECH,
                                 pack_charts_v4)
 from .surfel import AA_SIGMA2, ALPHA_CLAMP, ALPHA_CUTOFF
 
+import os as _os
+
+# dev perf-isolation hooks (same contract as v4's GSTEX_PALLAS_SKIP)
+_DEBUG_SKIP = _os.environ.get("GSTEX_PALLAS_SKIP", "")
+
 CHUNK = 16
 assert SLOT_ALIGN % CHUNK == 0
 
@@ -594,10 +599,11 @@ def _bwd_kernel5(grid: TileGrid, s_cap: int, ch_blk, cw_blk, starts_ref,
 
         # before overwriting this slot's grad scratches, drain the write
         # DMAs issued two iterations ago (walk is descending: c+2)
-        @pl.when(c + 2 <= n_chunks - 1)
-        def _():
-            drec_cp(c + 2, slot).wait()
-            dch_cp(c + 2, slot).wait()
+        if "dwrite" not in _DEBUG_SKIP:
+            @pl.when(c + 2 <= n_chunks - 1)
+            def _():
+                drec_cp(c + 2, slot).wait()
+                dch_cp(c + 2, slot).wait()
 
         _chunk_charts_wait(table_ref, ids_smem, woff, g_rows, chart_buf,
                            chart_sem, c, slot)
@@ -643,7 +649,8 @@ def _bwd_kernel5(grid: TileGrid, s_cap: int, ch_blk, cw_blk, starts_ref,
         b_io = _row_iota((cw_blk, pix)).astype(jnp.float32)
         pad_rows = cg - 3 * hsub
         d_chart_grp = []
-        for k in range(CHUNK):
+        ks_fetch = [] if "fetch" in _DEBUG_SKIP else list(range(CHUNK))
+        for k in ks_fetch:
             h_g = h_c[k:k + 1, :]
             w_g = w_c[k:k + 1, :]
             x_raw = x_raw_all[k:k + 1, :]
@@ -701,6 +708,10 @@ def _bwd_kernel5(grid: TileGrid, s_cap: int, ch_blk, cw_blk, starts_ref,
             for ci in range(3):
                 tex_s[ci, k:k + 1, :] = texk[ci]
 
+        if "fetch" in _DEBUG_SKIP:
+            zkp = jnp.zeros((CHUNK, pix), jnp.float32)
+            tex_s[0], tex_s[1], tex_s[2] = zkp, zkp, zkp
+            dx_s[:], dy_s[:] = zkp, zkp
         tex0, tex1, tex2 = tex_s[0], tex_s[1], tex_s[2]      # (K, P)
         rgb0 = _rep(chunk[:, 21:22], pix)
         rgb1 = _rep(chunk[:, 22:23], pix)
@@ -805,14 +816,16 @@ def _bwd_kernel5(grid: TileGrid, s_cap: int, ch_blk, cw_blk, starts_ref,
 
         f_iota = jax.lax.broadcasted_iota(jnp.int32, (CHUNK, REC_W), 1)
         grad_chunk = jnp.zeros((CHUNK, REC_W), jnp.float32)
-        for f, v in enumerate(vals):
-            if v is None:
-                continue
-            grad_chunk = grad_chunk + jnp.where(
-                f_iota == f, _rep(lane_sum(v), REC_W), 0.0)
+        if "reduce" not in _DEBUG_SKIP:
+            for f, v in enumerate(vals):
+                if v is None:
+                    continue
+                grad_chunk = grad_chunk + jnp.where(
+                    f_iota == f, _rep(lane_sum(v), REC_W), 0.0)
         drec_buf[slot] = grad_chunk
-        drec_cp(c, slot).start()
-        dch_cp(c, slot).start()
+        if "dwrite" not in _DEBUG_SKIP:
+            drec_cp(c, slot).start()
+            dch_cp(c, slot).start()
 
         t_start = t_end * s_inv[0:1, :]
         if MXU_LEVEL & 2:
@@ -830,15 +843,16 @@ def _bwd_kernel5(grid: TileGrid, s_cap: int, ch_blk, cw_blk, starts_ref,
     jax.lax.while_loop(cond, body, carry0)
 
     # drain the last (up to) two outstanding grad-write DMAs
-    @pl.when(n_chunks >= 1)
-    def _():
-        drec_cp(0, jnp.int32(0)).wait()
-        dch_cp(0, jnp.int32(0)).wait()
+    if "dwrite" not in _DEBUG_SKIP:
+        @pl.when(n_chunks >= 1)
+        def _():
+            drec_cp(0, jnp.int32(0)).wait()
+            dch_cp(0, jnp.int32(0)).wait()
 
-    @pl.when(n_chunks >= 2)
-    def _():
-        drec_cp(1, jnp.int32(1)).wait()
-        dch_cp(1, jnp.int32(1)).wait()
+        @pl.when(n_chunks >= 2)
+        def _():
+            drec_cp(1, jnp.int32(1)).wait()
+            dch_cp(1, jnp.int32(1)).wait()
 
 
 def rasterize_pallas5_bwd(grid: TileGrid, chart_pad, s_cap, inputs, table,

@@ -128,3 +128,77 @@ def gather(records, gids):
 
 timeit("records gather", gather, records, gids)
 print(f"total pairs {int(total)}")
+
+# ---- expand sub-stages ----
+tx0, ty0, tw, counts = jax.block_until_ready(jax.jit(
+    lambda: tile_ranges(prep.centers, prep.extents, grid, prep.valid))())
+counts = jax.block_until_ready(jnp.where(prep.depths > 1e-6, counts, 0))
+offsets = jax.block_until_ready(jnp.cumsum(counts) - counts)
+
+
+def owner_only(counts, offsets):
+    return _pair_owner(counts, offsets, PAIR_CAP)
+
+
+gid_m = jax.block_until_ready(jax.jit(owner_only)(counts, offsets))
+timeit("  owner (scatter+cummax)", owner_only, counts, offsets)
+
+
+def gathers_only(gid_m, tx0, ty0, tw, offsets):
+    return tx0[gid_m] + ty0[gid_m] + tw[gid_m] + offsets[gid_m]
+
+
+timeit("  4x gather", gathers_only, gid_m, tx0, ty0, tw, offsets)
+
+
+def packed_gather(gid_m, packed):
+    row = packed[gid_m]
+    return row[:, 0] + row[:, 1] + row[:, 2] + row[:, 3]
+
+
+packed = jax.block_until_ready(
+    jnp.stack([tx0, ty0, tw, offsets], axis=1))
+timeit("  1x (N,4) row gather", packed_gather, gid_m, packed)
+
+
+def divmod_int(gid_m, tw, offsets):
+    k = jnp.arange(PAIR_CAP, dtype=jnp.int32)
+    local = k - offsets[gid_m]
+    w_g = jnp.maximum(tw[gid_m], 1)
+    return local // w_g + local % w_g
+
+
+timeit("  divmod int", divmod_int, gid_m, tw, offsets)
+
+
+def divmod_float(gid_m, tw, offsets):
+    k = jnp.arange(PAIR_CAP, dtype=jnp.int32)
+    local = k - offsets[gid_m]
+    w_g = jnp.maximum(tw[gid_m], 1)
+    q = jnp.floor(local.astype(jnp.float32) / w_g.astype(jnp.float32)
+                  ).astype(jnp.int32)
+    return q + (local - q * w_g)
+
+
+timeit("  divmod float", divmod_float, gid_m, tw, offsets)
+
+
+def scatter2(ts, gs):
+    slot_cap = flat_slot_cap(PAIR_CAP, grid.num_tiles)
+    k = jnp.arange(PAIR_CAP, dtype=jnp.int32)
+    slot = jnp.where(ts < grid.num_tiles, k, slot_cap)
+    gids = jnp.zeros((slot_cap,), jnp.int32).at[slot].set(gs, mode="drop")
+    sval = jnp.zeros((slot_cap,), bool).at[slot].set(True, mode="drop")
+    return gids, sval
+
+
+def scatter1(ts, gs):
+    slot_cap = flat_slot_cap(PAIR_CAP, grid.num_tiles)
+    k = jnp.arange(PAIR_CAP, dtype=jnp.int32)
+    slot = jnp.where(ts < grid.num_tiles, k, slot_cap)
+    g1 = jnp.zeros((slot_cap,), jnp.int32).at[slot].set(gs + 1, mode="drop")
+    return jnp.maximum(g1 - 1, 0), g1 > 0
+
+
+timeit("  2 scatters", scatter2, ts, gs)
+timeit("  1 scatter (+1 trick)", scatter1, ts, gs)

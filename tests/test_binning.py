@@ -132,3 +132,32 @@ def test_flat_bins_match_dense():
             assert not sval[starts[t] + c:pad_end].any()
             end = pad_end
         assert not sval[end:].any()
+
+
+def test_flat_bins_fused_cull_matches_legacy():
+    """The fused-gather cull path (cull table folded into the binning row
+    gather) drops exactly the pairs the standalone cull_fn would."""
+    from gstex_tpu.ops.binning import build_tile_bins_flat
+    from gstex_tpu.ops.cull import make_pair_cull
+
+    scene, cam, prep = _prepared(n=200, h=96, w=128)
+    grid = TileGrid(height=96, width=128, tile_h=16, tile_w=16)
+    args = (prep.centers, prep.extents, prep.depths, prep.valid, grid)
+    cf = make_pair_cull(prep.geom, cam, grid)
+
+    class Legacy:   # cull_fn without .table -> per-pair gather path
+        def __call__(self, gid, tx, ty):
+            return cf(gid, tx, ty)
+
+    fused = build_tile_bins_flat(*args, pair_cap=8192, s_cap=64, cull_fn=cf)
+    legacy = build_tile_bins_flat(*args, pair_cap=8192, s_cap=64,
+                                  cull_fn=Legacy())
+    np.testing.assert_array_equal(np.asarray(fused.gids),
+                                  np.asarray(legacy.gids))
+    np.testing.assert_array_equal(np.asarray(fused.slot_valid),
+                                  np.asarray(legacy.slot_valid))
+    np.testing.assert_array_equal(np.asarray(fused.counts),
+                                  np.asarray(legacy.counts))
+    # and the cull actually dropped something on this scene
+    nocull = build_tile_bins_flat(*args, pair_cap=8192, s_cap=64)
+    assert int(fused.counts.sum()) < int(nocull.counts.sum())
