@@ -31,15 +31,55 @@ def main():
 
     SCAN = 8  # trainer's steps_per_sync: steps fused under one dispatch
 
+    def measure_demand(scene_kind):
+        """One generously-capped binning pass to read the scene's true pair
+        demand; capacities then settle exactly as the trainer's
+        overflow-driven growth would (binning.settle_caps)."""
+        from gstex_tpu.ops.binning import build_tile_bins_flat, settle_caps
+        from gstex_tpu.ops.cull import make_pair_cull
+        from gstex_tpu.ops.prepare import prepare_splats
+
+        cfg0 = model.GStexConfig(chart_pad=(8, 8), tile_h=32, tile_w=32,
+                                 pixel_num=1e6, background_color="black")
+
+        @jax.jit
+        def demand():
+            if scene_kind == "trained":
+                from gstex_tpu.data.synthetic import surface_scene
+
+                scene = surface_scene(jax.random.key(0), N,
+                                      chart_pad=cfg0.chart_pad)
+            else:
+                scene = random_scene(jax.random.key(0), N,
+                                     chart_pad=cfg0.chart_pad, spread=1.2,
+                                     scale_lo=-4.5, scale_hi=-2.5)
+            params, buffers = model.init_params(
+                cfg0, scene["means"], scene["log_scales"], scene["quats"],
+                scene["opacity_logits"], scene["features_dc"],
+                scene["features_rest"])
+            grid = cfg0.grid(H, W)
+            prep = prepare_splats(
+                params.means, params.log_scales, params.quats,
+                params.opacity_logits, params.features_dc,
+                params.features_rest, buffers.mappings,
+                orbit_camera(H, W, dist=4.0), active_sh_degree=3)
+            cf = make_pair_cull(prep.geom, orbit_camera(H, W, dist=4.0),
+                                grid)
+            fb = build_tile_bins_flat(prep.centers, prep.extents,
+                                      prep.depths, prep.valid, grid,
+                                      pair_cap=1 << 20, s_cap=4096,
+                                      cull_fn=cf)
+            return fb.total_pairs, jnp.max(fb.counts), fb.overflow
+
+        tp, mtc, ovf = demand()
+        assert int(ovf) == 0, "demand pass overflowed its generous caps"
+        return settle_caps(int(tp), int(mtc))
+
     def build(renderer, scene_kind="dense"):
-        # the trained-stats scene's silhouette tiles collect up to ~1.2k
-        # splats (measured: count max 1140 at 50k surfels) and the dense
-        # cloud's hottest tiles ~610 post-cull — provision the per-tile
-        # list like the trainer's overflow growth would (walk cost is
-        # count-limited, so padding is ~free)
-        s_max = 2048 if scene_kind == "trained" else 1024
+        pair_cap, s_max = measure_demand(scene_kind)
         cfg = model.GStexConfig(chart_pad=(8, 8), tile_h=32, tile_w=32,
-                                pair_cap=1 << 19, s_max=s_max, pixel_num=1e6,
+                                pair_cap=pair_cap, s_max=s_max,
+                                pixel_num=1e6,
                                 background_color="black", renderer=renderer)
 
         @jax.jit

@@ -77,9 +77,10 @@ def get_method(name: str) -> MethodConfig:
         "gstex-blender-nvs": _blender("gstex-blender-nvs", 15000),
         "gstex-blender-lod": _blender("gstex-blender-lod", 7000,
                                       xyz_mult=10.0),
-        # colmap-init uses a 1e7 texel budget -> wider chart pad
-        "gstex-colmap-init": _dtu("gstex-colmap-init", 1, pixel_num=1e7,
-                                  chart_pad=(16, 16)),
+        # colmap-init uses a 1e7 texel budget; chart pad auto-resolves from
+        # the scene's unclamped chart-dim distribution (resolve_chart_pad —
+        # a pinned pad can silently clamp skewed scale distributions)
+        "gstex-colmap-init": _dtu("gstex-colmap-init", 1, pixel_num=1e7),
         "gstex-dtu-nvs": _dtu("gstex-dtu-nvs", 15000),
         "gstex-dtu-lod": _dtu("gstex-dtu-lod", 7000, xyz_mult=10.0),
     }

@@ -398,6 +398,7 @@ def render(
     out["background"] = background
     out["overflow"] = bins.overflow
     out["total_pairs"] = bins.total_pairs
+    out["max_tile_count"] = jnp.max(bins.counts)
     if cfg.use_normal_loss:
         from ..ops.normals import depth_to_normal
 

@@ -222,6 +222,19 @@ def flat_slot_cap(pair_cap: int, num_tiles: int) -> int:
     return pair_cap + SLOT_ALIGN * num_tiles
 
 
+def settle_caps(total_pairs: int, max_tile_count: int) -> tuple[int, int]:
+    """Demand-based static capacities: what the trainer's overflow-driven
+    growth converges to for a scene with the given measured pair demand
+    (``total_pairs`` pre-truncation, ``max_tile_count`` the hottest tile's
+    pair count). 1.5x / 1.25x headroom, quantized so nearby scenes share a
+    compilation. Every pair-space op (expansion, cull, sort, scatter,
+    grad reductions) scales with pair_cap, so demand sizing beats blind
+    power-of-2 doubling (~2x over-provision in the worst case)."""
+    pair_cap = max(1 << 16, -(-int(1.5 * total_pairs) // 65536) * 65536)
+    s_cap = max(256, -(-int(1.25 * max_tile_count) // 256) * 256)
+    return min(pair_cap, 1 << 23), min(s_cap, 4096)
+
+
 def build_tile_bins_flat(
     centers: jax.Array,
     extents: jax.Array,

@@ -117,6 +117,8 @@ def _render_band(cfg, params, buffers, cam, step, axis_name, bgrid, band_h,
         maps = rasterize(prep.geom, texture, buffers.texture_hw, bins, cam,
                          bgrid, px_offset=px_offset)
     maps["overflow"] = bins.overflow
+    maps["total_pairs"] = bins.total_pairs
+    maps["max_tile_count"] = jnp.max(bins.counts)
     return maps
 
 
@@ -192,7 +194,8 @@ def _band_loss(cfg, params, buffers, step, axis_name, ndev, bgrid, band_h,
     total = main + normal_loss + reg_loss
     mse_sum = jnp.sum(
         (band_rgb - gt_band) ** 2 * rowmask[:, None, None])
-    return total, (mse_sum, maps["overflow"])
+    return total, (mse_sum, maps["overflow"], maps["total_pairs"],
+                   maps["max_tile_count"])
 
 
 def _sharded_step_core(cfg: model.GStexConfig,
@@ -222,8 +225,8 @@ def _sharded_step_core(cfg: model.GStexConfig,
                               bgrid, band_h, height, width, cam_tuple,
                               image, background)
 
-        (loss, (mse_sum, overflow)), grads = jax.value_and_grad(
-            loss_of, has_aux=True)(params)
+        (loss, (mse_sum, overflow, tpairs, maxtc)), grads = \
+            jax.value_and_grad(loss_of, has_aux=True)(params)
         grads = jax.lax.psum(grads, axis_name)
         updates, opt_state = tx.update(grads, opt_state, params)
         params = optax.apply_updates(params, updates)
@@ -231,6 +234,9 @@ def _sharded_step_core(cfg: model.GStexConfig,
         metrics = {
             "loss": loss,
             "overflow": jax.lax.psum(overflow, axis_name),
+            # per-band pair demand: growth sizes caps to the worst band
+            "total_pairs": jax.lax.pmax(tpairs, axis_name),
+            "max_tile_count": jax.lax.pmax(maxtc, axis_name),
             "psnr": 10.0 * -jnp.log10(jnp.maximum(mse, 1e-12)),
         }
         return params, opt_state, step + 1, key, metrics
@@ -330,8 +336,8 @@ def make_batch_sharded_train_step(cfg: model.GStexConfig,
                               ndev, bgrid, band_h, height, width,
                               cam_tuple, image, background)
 
-        (loss, (mse_sum, overflow)), grads = jax.value_and_grad(
-            loss_of, has_aux=True)(params)
+        (loss, (mse_sum, overflow, tpairs, maxtc)), grads = \
+            jax.value_and_grad(loss_of, has_aux=True)(params)
         # sum the band grads within each camera, then average over the
         # camera batch (DDP averages rank grads)
         grads = jax.lax.psum(grads, tile_axis)
@@ -345,6 +351,8 @@ def make_batch_sharded_train_step(cfg: model.GStexConfig,
         metrics = {
             "loss": loss,
             "overflow": jax.lax.psum(overflow, (data_axis, tile_axis)),
+            "total_pairs": jax.lax.pmax(tpairs, (data_axis, tile_axis)),
+            "max_tile_count": jax.lax.pmax(maxtc, (data_axis, tile_axis)),
             "psnr": 10.0 * -jnp.log10(jnp.maximum(mse, 1e-12)),
         }
         return params, opt_state, step + 1, key, metrics

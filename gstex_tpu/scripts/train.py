@@ -111,11 +111,17 @@ def add_common_args(p):
     p.add_argument("--viewer", action="store_true",
                    help="serve the interactive viewer while training")
     p.add_argument("--viewer-port", type=int, default=7007)
+    p.add_argument("--data-parallel", type=int, default=0,
+                   help="camera-batch data parallelism: split "
+                        "--num-devices into (data, tile) mesh rows; each "
+                        "data row trains its own camera per step "
+                        "(reference DDP world_size semantics)")
     p.add_argument("--num-devices", type=int, default=0,
                    help=">1: shard tile rows across a device mesh")
     p.add_argument("--renderer", default=None,
-                   choices=["xla", "pallas", "pallas1", "pallas2", "pallas3",
-                            "pallas_interpret"],
+                   choices=["xla", "pallas", "pallas1", "pallas2",
+                            "pallas3", "pallas4", "pallas5",
+                            "pallas_interpret", "pallas5_interpret"],
                    help="renderer tier override (default: method config)")
     p.add_argument("--set", action="append", default=[], dest="overrides",
                    metavar="SECTION.FIELD=VALUE",
@@ -169,7 +175,8 @@ def main(argv=None):
     method.trainer = dataclasses.replace(
         method.trainer, output_dir=out,
         load_checkpoint=args.load_checkpoint,
-        num_devices=args.num_devices)
+        num_devices=args.num_devices,
+        data_parallel=args.data_parallel)
 
     from ..data.manager import FullImageCache
     from ..train.trainer import Trainer

@@ -61,6 +61,7 @@ def _train_body(cfg: model.GStexConfig, tx: optax.GradientTransformation,
     metrics["loss"] = loss
     metrics["overflow"] = outputs["overflow"]
     metrics["total_pairs"] = outputs["total_pairs"]
+    metrics["max_tile_count"] = outputs["max_tile_count"]
     metrics["psnr"] = 10.0 * -jnp.log10(
         jnp.maximum(jnp.mean((outputs["rgb"] - gt) ** 2), 1e-12))
     new_state = TrainState(params, state.buffers, opt_state,

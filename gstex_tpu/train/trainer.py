@@ -68,6 +68,13 @@ class TrainerConfig:
     load_checkpoint: Optional[str] = None
     log_every: int = 10
     num_devices: int = 0   # >1: shard tile rows over a device mesh
+    # camera-batch data parallelism: split num_devices into a 2-D
+    # (data, tile) mesh with this many data rows — each trains its OWN
+    # camera per step and grads are averaged, the reference DDP's
+    # world_size-images-per-step semantics
+    # (``nerfstudio/scripts/train.py:204-209``). Requires
+    # num_devices % data_parallel == 0; 0/1 disables.
+    data_parallel: int = 0
     # NaN/Inf gate on the per-chunk loss — the TPU analog of the
     # reference's per-step ``torch.autograd.set_detect_anomaly(True)``
     # (``engine/trainer.py:449``): a NaN aborts with a diagnostic dump
@@ -103,13 +110,27 @@ class Trainer:
             print(f"resumed from {tcfg.load_checkpoint} at step "
                   f"{int(self.state.step)}")
         self.mesh = None
+        self.dp = 0
         if tcfg.num_devices > 1:
             # tile-row sharding over the device mesh (parallel/shard.py);
             # per-camera image sizes select the banded step lazily
             from jax.sharding import Mesh
 
             devs = np.array(jax.devices()[: tcfg.num_devices])
-            self.mesh = Mesh(devs, ("tile",))
+            if tcfg.data_parallel > 1:
+                b = tcfg.data_parallel
+                if tcfg.num_devices % b:
+                    raise ValueError(
+                        f"num_devices={tcfg.num_devices} not divisible by "
+                        f"data_parallel={b}")
+                if mcfg.num_downscales > 0:
+                    raise ValueError("data_parallel requires "
+                                     "num_downscales=0 (uniform batch "
+                                     "resolution per step)")
+                self.dp = b
+                self.mesh = Mesh(devs.reshape(b, -1), ("data", "tile"))
+            else:
+                self.mesh = Mesh(devs, ("tile",))
             self._sharded_steps: dict = {}
         self._train_step = step_mod.make_train_step(mcfg, self.tx)
         self._rechart = step_mod.make_rechart_step(mcfg)
@@ -122,13 +143,38 @@ class Trainer:
             return self._train_step
         key = (cam.height, cam.width)
         if key not in self._sharded_steps:
-            from ..parallel.shard import make_sharded_train_step
+            from ..parallel.shard import (make_batch_sharded_train_step,
+                                          make_sharded_train_step)
 
-            self._sharded_steps[key] = make_sharded_train_step(
-                self.mcfg, self.tx, self.mesh, cam.height, cam.width)
+            if self.dp > 1:
+                self._sharded_steps[key] = make_batch_sharded_train_step(
+                    self.mcfg, self.tx, self.mesh, cam.height, cam.width)
+            else:
+                self._sharded_steps[key] = make_sharded_train_step(
+                    self.mcfg, self.tx, self.mesh, cam.height, cam.width)
         fn = self._sharded_steps[key]
         # the sharded step signature has no mask; composite it upstream
         return lambda state, cam_, gt, mask=None: fn(state, cam_, gt)
+
+    def _run_dp(self, step: int):
+        """One DP step: data_parallel cameras -> one averaged-grad update
+        (the reference DDP's per-iteration semantics)."""
+        from ..ops.camera import stack_cameras
+
+        batch = [self.train_cache.next_train_idx() for _ in range(self.dp)]
+        res = {(c.height, c.width) for _, (c, _, _) in batch}
+        if len(res) != 1:
+            raise ValueError(f"data_parallel needs a uniform-resolution "
+                             f"dataset; got {res}")
+        cams = stack_cameras([c for _, (c, _, _) in batch])
+        gts = jnp.stack([self.train_cache.device_image(i)
+                         for i, _ in batch])
+        lock = (self.viewer.train_lock if self.viewer is not None
+                else _NULL_LOCK)
+        with lock:
+            self.state, metrics = self._step_for(batch[0][1][0])(
+                self.state, cams, gts)
+        return batch[0][1][0], metrics
 
     def attach_viewer(self, port: int = 7007):
         """Start the interactive web viewer sharing this trainer's state."""
@@ -204,13 +250,24 @@ class Trainer:
             if self.viewer is not None:
                 while self.viewer.paused:
                     time.sleep(0.1)
-            n = self._chunk_size(step)
-            batch = [self.train_cache.next_train_idx() for _ in range(n)]
-            same_res = len({(c.height, c.width)
-                            for _, (c, _, _) in batch}) == 1
-            no_mask = all(m is None for _, (_, _, m) in batch)
+            if self.dp > 1:
+                # one DP iteration consumes data_parallel cameras
+                n = 1
+                with profiler.time_section("train_iteration"):
+                    cam, metrics = self._run_dp(step)
+                batch = None
+            else:
+                n = self._chunk_size(step)
+                batch = [self.train_cache.next_train_idx()
+                         for _ in range(n)]
+            same_res = batch is not None and len(
+                {(c.height, c.width) for _, (c, _, _) in batch}) == 1
+            no_mask = batch is not None and all(
+                m is None for _, (_, _, m) in batch)
             with profiler.time_section("train_iteration"):
-                if n > 1 and same_res and no_mask:
+                if batch is None:
+                    pass   # DP step already ran above
+                elif n > 1 and same_res and no_mask:
                     from ..ops.camera import stack_cameras
 
                     cams = stack_cameras([c for _, (c, _, _) in batch])
@@ -221,8 +278,11 @@ class Trainer:
                     self.state, ms = scan(self.state, cams, gts)
                     metrics = {k: v[-1] for k, v in ms.items()}
                     metrics["overflow"] = ms["overflow"].max()
+                    for dk in ("total_pairs", "max_tile_count"):
+                        if dk in ms:
+                            metrics[dk] = ms[dk].max()
                     cam = batch[-1][1][0]
-                else:
+                elif batch is not None:
                     for i, (cam, img, mask) in batch[:-1]:
                         self._run_one(step, i, cam, img, mask)
                         step += 1
@@ -255,7 +315,8 @@ class Trainer:
                     model.texel_count(self.state.buffers))
                 self.writer.scalars(step, metrics)
                 if metrics.get("overflow", 0) > 0:
-                    self._grow_capacities(step, int(metrics["overflow"]))
+                    self._grow_capacities(step, int(metrics["overflow"]),
+                                          metrics)
 
             if (tcfg.steps_per_eval_image > 0 and self.eval_cache
                     and step % tcfg.steps_per_eval_image == 0):
@@ -278,13 +339,32 @@ class Trainer:
         print(profiler.summary())
         self.writer.close()
 
-    def _grow_capacities(self, step: int, overflow: int):
-        """Overflow-driven capacity growth: double the per-tile list cap /
-        pair cap (bucketed so recompiles are rare) when splats were dropped.
-        Capacities are static under jit — growing swaps in re-jitted steps."""
+    def _grow_capacities(self, step: int, overflow: int, metrics=None):
+        """Overflow-driven capacity growth. When the step reports its true
+        pair demand (total_pairs / max_tile_count), capacities are sized to
+        demand with headroom (``binning.settle_caps``) — every pair-space op
+        scales with pair_cap, so demand sizing beats blind doubling. Falls
+        back to doubling when demand is unknown. Capacities are static
+        under jit — growing swaps in re-jitted steps."""
+        from ..ops.binning import settle_caps
+
         mcfg = self.mcfg
         new_s = min(mcfg.s_max * 2, 4096)
         new_p = min(mcfg.pair_cap * 2, 1 << 23)
+        if metrics and metrics.get("total_pairs", 0) > 0:
+            # demand known: settle near it (but never shrink below the
+            # overflowing config — the demand numbers are themselves
+            # truncation-clamped lower bounds when pair_cap overflowed)
+            dp, ds = settle_caps(int(metrics["total_pairs"]),
+                                 int(metrics.get("max_tile_count", 0)))
+            new_p = min(max(dp, min(mcfg.pair_cap * 2, new_p)
+                            if metrics["total_pairs"] >= mcfg.pair_cap
+                            else dp), 1 << 23)
+            new_s = min(max(ds, min(mcfg.s_max * 2, new_s)
+                            if metrics.get("max_tile_count", 0) >= mcfg.s_max
+                            else ds), 4096)
+            new_p = max(new_p, mcfg.pair_cap)
+            new_s = max(new_s, mcfg.s_max)
         if new_s == mcfg.s_max and new_p == mcfg.pair_cap:
             print(f"WARNING step {step}: overflow {overflow} at max "
                   f"capacities (s_max={mcfg.s_max})")

@@ -43,8 +43,14 @@ class RenderStateMachine(threading.Thread):
         self.static_since = 0.0
         self.last_render_s = {r: 0.05 for r in RES_LADDER}
         self.target_fps = 12.0
+        # generation counter: bumped per submit; the banded high-res
+        # render checks it between bands and aborts when stale (the
+        # reference's mid-render interruption,
+        # viewer/render_state_machine.py:204-212)
+        self.gen = 0
 
     def submit(self, cam_dict, output_name):
+        self.gen += 1
         self.pending = (cam_dict, output_name)
         self.static_since = time.time()
         self.wake.set()
@@ -73,7 +79,11 @@ class RenderStateMachine(threading.Thread):
             self.wake.clear()
             try:
                 t0 = time.time()
-                img, meta = self.viewer.render(job[0], job[1], res)
+                gen = self.gen
+                img, meta = self.viewer.render(job[0], job[1], res,
+                                               gen=gen)
+                if meta.get("superseded"):
+                    continue   # a newer camera arrived mid-render
                 self.last_render_s[res] = time.time() - t0
                 self.result = (img, meta)
             except Exception as e:  # keep the viewer alive
@@ -108,6 +118,10 @@ class Viewer:
         self.colormap = "depth"        # depth | turbo | gray
         self.max_res = RES_LADDER[-1]
         self.crop = None               # {"min": [3], "max": [3]} world box
+        # split view: A/B compare of two output types at a column slider
+        # (reference control_panel.py split slider)
+        self.split_output = None       # second output name, None = off
+        self.split_frac = 0.5
         # render panel (keyframed camera paths, render_panel.py analog)
         from .render_panel import RenderPanel
 
@@ -141,29 +155,76 @@ class Viewer:
         return params._replace(
             opacity_logits=jnp.where(inside, params.opacity_logits, -40.0))
 
-    def render(self, cam_dict, output_name, res):
-        state = self.get_state()
-        cam = self._cam_from_dict(cam_dict, res)
-        bg = jnp.asarray([0.1490, 0.1647, 0.2157])
+    # rows per band of the interruptible high-res render: between bands
+    # the generation counter is checked, so a camera move during a slow
+    # static render responds within one band's latency instead of a full
+    # frame (reference render_state_machine.py:204-212 check_interrupt)
+    BAND_ROWS = 128
+
+    def _render_imgs(self, params, buffers, step, cam, bg):
+        """One render pass -> dict of displayable images (fast path when
+        only composited outputs are needed and no edit overlay is live)."""
         cmap = lambda d: _colormap(d, self.colormap)
+        if self.edit_texture is None:
+            out = model.render(self.cfg, params, buffers, cam, step, bg,
+                               eval_only=True)
+            return {
+                "rgb": out["rgb"],
+                "depth": cmap(out["depth"]),
+                "accumulation": out["alpha"][..., None].repeat(3, -1),
+            }
+        imgs = model.render_eval_images(
+            self.cfg, params, buffers, cam, step, bg,
+            edit_texture=self.edit_texture)
+        imgs["depth"] = cmap(imgs["depth"][..., 0])
+        imgs["accumulation"] = imgs["accumulation"].repeat(3, -1)
+        return imgs
+
+    def _band_cam(self, cam_dict, res, y0, rows):
+        """Camera rendering rows [y0, y0+rows) of the full-res frame: same
+        intrinsics with the principal point shifted (a pinhole crop)."""
+        d = dict(cam_dict)
+        full = self._cam_from_dict(cam_dict, res)
+        return make_camera(full.fx, full.fy, full.cx, full.cy - y0,
+                           rows, full.width, full.c2w), full.height
+
+    def _compose(self, imgs, output_name):
+        a = np.asarray(imgs.get(output_name, imgs["rgb"]))
+        if self.split_output:
+            b = np.asarray(imgs.get(self.split_output, imgs["rgb"]))
+            col = int(np.clip(self.split_frac, 0.0, 1.0) * a.shape[1])
+            a = a.copy()
+            a[:, col:] = b[:, col:]
+            a[:, max(col - 1, 0):col + 1] = 1.0   # divider line
+        return a
+
+    def render(self, cam_dict, output_name, res, gen=None):
+        state = self.get_state()
+        bg = jnp.asarray([0.1490, 0.1647, 0.2157])
+        full_cam = self._cam_from_dict(cam_dict, res)
+        h = full_cam.height
+        banded = h > self.BAND_ROWS and gen is not None
         with self.train_lock:
             params = self._crop_params(state.params)
-            if output_name in ("rgb", "depth", "accumulation") \
-                    and self.edit_texture is None:
-                out = model.render(self.cfg, params, state.buffers, cam,
-                                   state.step, bg, eval_only=True)
-                imgs = {
-                    "rgb": out["rgb"],
-                    "depth": cmap(out["depth"]),
-                    "accumulation": out["alpha"][..., None].repeat(3, -1),
-                }
+            if not banded:
+                imgs = self._render_imgs(params, state.buffers, state.step,
+                                         full_cam, bg)
+                img = self._compose(imgs, output_name)
             else:
-                imgs = model.render_eval_images(
-                    self.cfg, params, state.buffers, cam, state.step,
-                    bg, edit_texture=self.edit_texture)
-                imgs["depth"] = cmap(imgs["depth"][..., 0])
-                imgs["accumulation"] = imgs["accumulation"].repeat(3, -1)
-            img = np.asarray(imgs.get(output_name, imgs["rgb"]))
+                rows_out = []
+                y0 = 0
+                while y0 < h:
+                    if gen is not None and self.rsm.gen != gen:
+                        return None, {"superseded": True}
+                    rows = min(self.BAND_ROWS, h - y0)
+                    cam_b, _ = self._band_cam(cam_dict, res, y0, rows)
+                    imgs = self._render_imgs(params, state.buffers,
+                                             state.step, cam_b, bg)
+                    rows_out.append(self._compose(imgs, output_name))
+                    y0 += rows
+                if gen is not None and self.rsm.gen != gen:
+                    return None, {"superseded": True}
+                img = np.concatenate(rows_out, axis=0)
         jpeg = _to_jpeg(img)
         return jpeg, {"res": res, "step": int(state.step)}
 
@@ -244,6 +305,8 @@ class Viewer:
                         "colormap": viewer.colormap,
                         "max_res": viewer.max_res,
                         "crop": viewer.crop,
+                        "split": viewer.split_output,
+                        "split_frac": viewer.split_frac,
                     }).encode())
                 else:
                     self._send(404, b"{}")
@@ -281,6 +344,11 @@ class Viewer:
                     elif action == "set_max_res":
                         viewer.max_res = int(body.get("max_res",
                                                       RES_LADDER[-1]))
+                    elif action == "set_split":
+                        out2 = body.get("output")
+                        viewer.split_output = (str(out2) if out2 else None)
+                        viewer.split_frac = float(
+                            body.get("frac", viewer.split_frac))
                     elif action == "set_crop":
                         viewer.crop = (
                             {"min": [float(v) for v in body["min"]],

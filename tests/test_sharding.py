@@ -184,3 +184,27 @@ def test_trainer_multidevice(tmp_path):
     assert tr.mesh is not None
     assert int(tr.state.step) == 4
     assert any(k[0] > 1 for k in tr._scan_steps), "sharded scan never used"
+
+
+def test_trainer_data_parallel(tmp_path):
+    """--data-parallel B: the trainer builds the 2-D (data, tile) mesh and
+    one step consumes B cameras with averaged grads (reference DDP
+    semantics, nerfstudio/scripts/train.py:204-209)."""
+    from gstex_tpu.data.manager import FullImageCache
+    from gstex_tpu.train.trainer import Trainer, TrainerConfig
+
+    state, tx, cam = setup(n=32)
+    img = np.zeros((H, W, 3), np.uint8)
+    cam2 = orbit_camera(H, W, dist=3.0, azimuth=0.3)
+    cache = FullImageCache(cameras=[cam, cam2], images=[img, img])
+    tcfg = TrainerConfig(max_num_iterations=2, steps_per_save=0,
+                         steps_per_eval_image=0, log_every=1,
+                         output_dir=str(tmp_path), num_devices=4,
+                         data_parallel=2, steps_per_sync=1)
+    tr = Trainer(tcfg, CFG, optim.OptimConfig(), state.params,
+                 state.buffers, cache)
+    assert tr.dp == 2
+    assert dict(zip(tr.mesh.axis_names, tr.mesh.devices.shape)) == \
+        {"data": 2, "tile": 2}
+    tr.train()
+    assert int(tr.state.step) == 2

@@ -171,3 +171,51 @@ def test_control_panel_crop_and_colormap(viewer):
     assert viewer.rsm.pick_res(moving=False) == 192
     viewer.render(d, "depth", 96)   # turbo colormap path executes
     _post("/control", {"action": "set_max_res", "max_res": 768})
+
+
+def test_render_generation_interrupt(viewer):
+    """A camera submitted mid-band aborts the in-flight banded render
+    (reference render_state_machine.py:204-212 check_interrupt)."""
+    gen0 = viewer.rsm.gen
+    # banded path: force a tall render; bump the generation between bands
+    # by submitting from a timer thread
+    import threading
+
+    cd = _camera_dict()
+    cd["height"] = cd["width"] = 512   # > BAND_ROWS -> banded
+
+    done = {}
+
+    def bump():
+        viewer.rsm.submit(_camera_dict(), "rgb")
+
+    t = threading.Timer(0.0, bump)
+    t.start()
+    t.join()
+    # gen moved past gen0: a render started at gen0 must supersede
+    img, meta = viewer.render(cd, "rgb", 512, gen=gen0)
+    assert img is None and meta.get("superseded") is True
+    # and a current-generation render completes
+    img2, meta2 = viewer.render(cd, "rgb", 512, gen=viewer.rsm.gen)
+    assert img2 is not None and "superseded" not in meta2
+
+
+def test_split_view(viewer):
+    """Split slider composes two outputs left/right of the column."""
+    viewer.split_output = "depth"
+    viewer.split_frac = 0.5
+    try:
+        cd = _camera_dict()
+        img, meta = viewer.render(cd, "rgb", 96)
+        assert img is not None
+        # state endpoint reports the split
+        _post("/control", {"action": "set_split", "output": "accumulation",
+                           "frac": 0.25})
+        st = json.loads(_get("/state").read())
+        assert st["split"] == "accumulation"
+        assert abs(st["split_frac"] - 0.25) < 1e-6
+        _post("/control", {"action": "set_split", "output": None})
+        st = json.loads(_get("/state").read())
+        assert st["split"] is None
+    finally:
+        viewer.split_output = None
