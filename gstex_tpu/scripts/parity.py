@@ -18,6 +18,14 @@ Usage (when a dataset is mounted):
         --init-ply /data/init_nvs/chair/point_cloud.ply --dataset blender
 Emits ``parity.json`` in --output-dir. ``--quick N`` trains N iters
 instead of the full schedule (smoke mode).
+
+**Synthetic held-out protocol** (no dataset in this environment): with
+``--synthetic``, a ground-truth textured surfel scene renders 8 views at
+--res (6 train / 2 HELD-OUT, interleaved azimuths); a perturbed-geometry /
+zeroed-texture init (the 2DGS-init analog, ``scripts/blender_nvs.py:22-31``)
+trains on the 6 and parity.json reports PSNR on the 2 unseen views —
+eval-view generalization, not train-view recovery:
+    gstex-parity --synthetic --quick 1500 --res 800
 """
 
 from __future__ import annotations
@@ -83,10 +91,105 @@ def gradcheck(method, data_dir, init_ply, renderer="pallas"):
     }
 
 
+def synthetic_heldout(renderer: str, res: int, iters: int, out_dir: Path,
+                      n_gauss: int = 20000, seed: int = 0):
+    """Held-out-view synthetic parity: train 6 views, eval 2 unseen."""
+    import jax
+    import jax.numpy as jnp
+
+    from ..data.manager import FullImageCache
+    from ..data.synthetic import orbit_camera, surface_scene
+    from ..models import gstex as model
+    from ..train import optim
+    from ..train.trainer import Trainer, TrainerConfig
+    from ..utils import metrics as metrics_io
+    from ..utils.tpu import enable_compilation_cache
+
+    enable_compilation_cache()
+    cfg = model.GStexConfig(chart_pad=(8, 8), tile_h=32, tile_w=32,
+                            pair_cap=1 << 19, s_max=2048, pixel_num=1e6,
+                            background_color="black", renderer=renderer)
+
+    @jax.jit
+    def gt_params():
+        scene = surface_scene(jax.random.key(seed), n_gauss,
+                              chart_pad=cfg.chart_pad)
+        return model.init_params(
+            cfg, scene["means"], scene["log_scales"], scene["quats"],
+            scene["opacity_logits"], scene["features_dc"],
+            scene["features_rest"])
+
+    params_gt, buffers_gt = gt_params()
+    # 8 azimuths; the two held-out views sit BETWEEN training azimuths
+    azis = [2 * np.pi * i / 8 for i in range(8)]
+    eval_idx = {3, 7}
+    cams = [orbit_camera(res, res, dist=4.0, azimuth=a, elevation=0.35)
+            for a in azis]
+
+    @jax.jit
+    def render_gt(cam_tuple):
+        from ..ops.camera import Camera
+
+        cam = Camera(fx=cam_tuple[0], fy=cam_tuple[1], cx=cam_tuple[2],
+                     cy=cam_tuple[3], height=res, width=res,
+                     c2w=cam_tuple[4])
+        out = model.render(cfg, params_gt, buffers_gt, cam,
+                           jnp.int32(10000), jnp.zeros(3), eval_only=True)
+        return out["rgb"]
+
+    views = [np.asarray(render_gt((c.fx, c.fy, c.cx, c.cy, c.c2w)))
+             for c in cams]
+    views_u8 = [(np.clip(v, 0, 1) * 255).astype(np.uint8) for v in views]
+
+    # init: perturbed geometry + zeroed texture (the NVS runs start from a
+    # pretrained 2DGS ply — geometry approximately right, no texture)
+    import jax.random as jrandom
+
+    ks = jrandom.split(jax.random.key(seed + 1), 3)
+    spacing = 1.2 * float(np.sqrt(4.0 * np.pi / n_gauss))
+    params0 = params_gt._replace(
+        means=params_gt.means + 0.3 * spacing * jrandom.normal(
+            ks[0], params_gt.means.shape),
+        log_scales=params_gt.log_scales + 0.2 * jrandom.normal(
+            ks[1], params_gt.log_scales.shape),
+        texture=jnp.zeros_like(params_gt.texture),
+        features_dc=jnp.zeros_like(params_gt.features_dc),
+        features_rest=0.0 * params_gt.features_rest,
+    )
+
+    train_cache = FullImageCache(
+        cameras=[c for i, c in enumerate(cams) if i not in eval_idx],
+        images=[v for i, v in enumerate(views_u8) if i not in eval_idx])
+    eval_cache = FullImageCache(
+        cameras=[c for i, c in enumerate(cams) if i in eval_idx],
+        images=[v for i, v in enumerate(views_u8) if i in eval_idx])
+
+    tcfg = TrainerConfig(max_num_iterations=iters, steps_per_save=0,
+                         steps_per_eval_image=0, log_every=100,
+                         output_dir=str(out_dir / "synthetic_run"))
+    tr = Trainer(tcfg, cfg, optim.OptimConfig(max_steps=iters), params0,
+                 buffers_gt, train_cache, eval_cache)
+    t0 = time.time()
+    tr.train()
+    agg = tr.eval_all()
+    agg["train_seconds"] = time.time() - t0
+    agg["iters"] = iters
+    agg["res"] = res
+    agg["n_gaussians"] = n_gauss
+    agg["held_out_views"] = sorted(eval_idx)
+    return agg
+
+
 def main(argv=None):
     p = argparse.ArgumentParser(description=__doc__)
-    p.add_argument("--data", required=True)
-    p.add_argument("--init-ply", required=True)
+    p.add_argument("--data", default=None)
+    p.add_argument("--init-ply", default=None)
+    p.add_argument("--synthetic", action="store_true",
+                   help="no-dataset mode: held-out-view PSNR on a "
+                        "synthetic textured scene (see module docstring)")
+    p.add_argument("--res", type=int, default=800)
+    p.add_argument("--n-gauss", type=int, default=20000,
+                   help="synthetic-mode scene size")
     p.add_argument("--dataset", choices=["blender", "dtu"],
                    default="blender")
     p.add_argument("--output-dir", default="parity_out")
@@ -100,11 +203,29 @@ def main(argv=None):
     from ..configs.methods import auto_renderer, get_method
     from .train import main as train_main
 
-    method = get_method("gstex-blender-nvs" if args.dataset == "blender"
-                        else "gstex-dtu-nvs")
     renderer = args.renderer or auto_renderer()
     out_dir = Path(args.output_dir)
     out_dir.mkdir(parents=True, exist_ok=True)
+
+    if args.synthetic:
+        iters = args.quick or 2000
+        print(f"[parity] synthetic held-out protocol: {iters} iters at "
+              f"{args.res}^2 ({renderer})")
+        report = {"mode": "synthetic_heldout", "renderer": renderer}
+        report["heldout"] = synthetic_heldout(renderer, args.res, iters,
+                                              out_dir,
+                                              n_gauss=args.n_gauss)
+        report["psnr"] = report["heldout"]["psnr"]
+        (out_dir / "parity.json").write_text(json.dumps(report, indent=1))
+        print(json.dumps({k: v for k, v in report["heldout"].items()
+                          if not isinstance(v, dict)}, indent=1))
+        print(f"[parity] wrote {out_dir / 'parity.json'}")
+        return report
+
+    if not args.data or not args.init_ply:
+        raise SystemExit("--data/--init-ply required (or use --synthetic)")
+    method = get_method("gstex-blender-nvs" if args.dataset == "blender"
+                        else "gstex-dtu-nvs")
     report = {"dataset": args.dataset, "data": args.data,
               "renderer": renderer,
               "target_psnr_table1": TABLE1_PSNR[args.dataset]}

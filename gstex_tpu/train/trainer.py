@@ -132,6 +132,14 @@ class Trainer:
             else:
                 self.mesh = Mesh(devs, ("tile",))
             self._sharded_steps: dict = {}
+            # commit the state to the mesh up front: the sharded step's
+            # outputs carry NamedSharding(mesh, P()), so an uncommitted
+            # initial state would cost a SECOND full compile on the first
+            # threaded call (measured ~50 s at 800 scale)
+            from jax.sharding import NamedSharding, PartitionSpec
+
+            self.state = jax.device_put(
+                self.state, NamedSharding(self.mesh, PartitionSpec()))
         self._train_step = step_mod.make_train_step(mcfg, self.tx)
         self._rechart = step_mod.make_rechart_step(mcfg)
         self._eval = step_mod.make_eval_step(mcfg)
