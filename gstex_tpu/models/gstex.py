@@ -86,6 +86,19 @@ class GStexConfig:
                         tile_h=self.tile_h, tile_w=self.tile_w)
 
 
+def lean_losses(cfg: "GStexConfig") -> bool:
+    """True when the reg + normal loss terms are STATICALLY zero (plain 0
+    floats, no schedules, no normal loss) — the headline NVS configs. The
+    Pallas kernels then skip the whole depth-distortion / normal compute
+    chain (their cotangents are structural zeros the opaque kernel could
+    not otherwise see)."""
+    def _zero(v):
+        return isinstance(v, (int, float)) and float(v) == 0.0
+
+    return (_zero(cfg.lambda_reg) and _zero(cfg.lambda_normal)
+            and not cfg.use_normal_loss)
+
+
 def schedule_value(v, step):
     """lambda_normal / lambda_reg schedules: float or [v0, v1, switch_step]
     (``gstex.py:1304-1311``)."""
@@ -365,7 +378,8 @@ def render(
 
         maps = rasterize_pl5(prep.geom, texture, buffers.texture_hw, bins,
                              cam, grid, s_cap=cfg.s_max,
-                             interpret="interpret" in cfg.renderer)
+                             interpret="interpret" in cfg.renderer,
+                             lean=lean_losses(cfg))
     elif cfg.renderer.startswith("pallas") and not extra and eval_only:
         from ..ops.rasterize_pallas_api import rasterize_pl_eval
 

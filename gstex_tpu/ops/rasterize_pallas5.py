@@ -137,7 +137,8 @@ def _ids_window_dma(ids_ref, astart, s_cap, ids_smem, ids_sem):
     return cp, astart - base
 
 
-def _fwd_kernel5(grid: TileGrid, s_cap: int, ch_blk, cw_blk, starts_ref,
+def _fwd_kernel5(grid: TileGrid, s_cap: int, ch_blk, cw_blk, lean,
+                 starts_ref,
                  counts_ref, cam_ref, records_ref, ids_ref, table_ref,
                  out_ref, ncontrib_ref, ids_smem, rec_win, chart_buf,
                  rec_sem, chart_sem, ids_sem):
@@ -211,31 +212,46 @@ def _fwd_kernel5(grid: TileGrid, s_cap: int, ch_blk, cw_blk, starts_ref,
             jnp.min(jnp.where(incl > T_EPS, incl, 2.0), axis=0,
                     keepdims=True))
 
-        m = r["m"]
-        wm = w * m
-        if MXU_LEVEL & 1:
-            pwpwm = _mx(_tri_excl_lower(CHUNK, 2),
-                        jnp.concatenate([w, wm], axis=0))
-            pw, pwm = pwpwm[:CHUNK], pwpwm[CHUNK:]
+        # lean mode: the reg (2DGS depth-distortion) and normal channels
+        # are statically dead when both loss lambdas are 0 (the headline
+        # NVS config) — skip their whole compute chain; the channels stay
+        # in the output layout as zeros. Mosaic DCEs the response's m path.
+        if lean:
+            if MXU_LEVEL & 2:
+                sums = _mx(_block_ones(CHUNK, 2),
+                           jnp.concatenate([w * r["t"], w], axis=0))
+                depth_add, alpha_add = sums[0:1], sums[1:2]
+            else:
+                depth_add = _sum_rows(w * r["t"])
+                alpha_add = _sum_rows(w)
+            reg_add = m1_add = None
         else:
-            pw = _cumsum_excl(w)
-            pwm = _cumsum_excl(wm)
-        reg_term = 2.0 * w * (m * (acc["alpha"] + pw)
-                              - (acc["m1"] + pwm))
-        if MXU_LEVEL & 2:
-            sums = _mx(_block_ones(CHUNK, 4),
-                       jnp.concatenate([reg_term, w * r["t"], w, wm],
-                                       axis=0))
-            reg_add, depth_add = sums[0:1], sums[1:2]
-            alpha_add, m1_add = sums[2:3], sums[3:4]
-        else:
-            reg_add = _sum_rows(reg_term)
-            depth_add = _sum_rows(w * r["t"])
-            alpha_add = _sum_rows(w)
-            m1_add = _sum_rows(wm)
+            m = r["m"]
+            wm = w * m
+            if MXU_LEVEL & 1:
+                pwpwm = _mx(_tri_excl_lower(CHUNK, 2),
+                            jnp.concatenate([w, wm], axis=0))
+                pw, pwm = pwpwm[:CHUNK], pwpwm[CHUNK:]
+            else:
+                pw = _cumsum_excl(w)
+                pwm = _cumsum_excl(wm)
+            reg_term = 2.0 * w * (m * (acc["alpha"] + pw)
+                                  - (acc["m1"] + pwm))
+            if MXU_LEVEL & 2:
+                sums = _mx(_block_ones(CHUNK, 4),
+                           jnp.concatenate([reg_term, w * r["t"], w, wm],
+                                           axis=0))
+                reg_add, depth_add = sums[0:1], sums[1:2]
+                alpha_add, m1_add = sums[2:3], sums[3:4]
+            else:
+                reg_add = _sum_rows(reg_term)
+                depth_add = _sum_rows(w * r["t"])
+                alpha_add = _sum_rows(w)
+                m1_add = _sum_rows(wm)
 
         img_d = _dot_cols(chunk[:, 21:24], w)                # (3, P)
-        nrm_d = _dot_cols(chunk[:, 0:3], w * r["flip"])      # (3, P)
+        nrm_d = (None if lean
+                 else _dot_cols(chunk[:, 0:3], w * r["flip"]))  # (3, P)
 
         # texel fetch: blend weight folded into the x-axis bilinear
         # weights, full (hsub, P) accumulation, one row reduction per
@@ -267,12 +283,13 @@ def _fwd_kernel5(grid: TileGrid, s_cap: int, ch_blk, cw_blk, starts_ref,
         new_acc["tex1"] = acc["tex1"] + _sum_rows(tex[1])
         new_acc["tex2"] = acc["tex2"] + _sum_rows(tex[2])
         new_acc["depth"] = acc["depth"] + depth_add
-        new_acc["n0"] = acc["n0"] + nrm_d[0:1, :]
-        new_acc["n1"] = acc["n1"] + nrm_d[1:2, :]
-        new_acc["n2"] = acc["n2"] + nrm_d[2:3, :]
-        new_acc["reg"] = acc["reg"] + reg_add
+        if not lean:
+            new_acc["n0"] = acc["n0"] + nrm_d[0:1, :]
+            new_acc["n1"] = acc["n1"] + nrm_d[1:2, :]
+            new_acc["n2"] = acc["n2"] + nrm_d[2:3, :]
+            new_acc["reg"] = acc["reg"] + reg_add
+            new_acc["m1"] = acc["m1"] + m1_add
         new_acc["alpha"] = acc["alpha"] + alpha_add
-        new_acc["m1"] = acc["m1"] + m1_add
         new_acc["t_final"] = t_froz
         return (c + 1, ncon, incl[CHUNK - 1:CHUNK, :], new_acc)
 
@@ -290,13 +307,14 @@ def _fwd_kernel5(grid: TileGrid, s_cap: int, ch_blk, cw_blk, starts_ref,
 
 def rasterize_pallas5_fwd(grid: TileGrid, chart_pad, s_cap: int,
                           inputs: PallasInputs5, table: jax.Array,
-                          interpret: bool = False):
+                          interpret: bool = False, lean: bool = False):
     num_tiles = inputs.starts.shape[0]
     ch_blk = _ch_blk_of(chart_pad[0])
     cw_blk = -(-chart_pad[1] // 8) * 8
     g_rows = _chart_blocks(ch_blk)[1] * cw_blk
     pr = grid.tile_h * grid.tile_w // 128
-    kernel = functools.partial(_fwd_kernel5, grid, s_cap, ch_blk, cw_blk)
+    kernel = functools.partial(_fwd_kernel5, grid, s_cap, ch_blk, cw_blk,
+                               lean)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3,
         grid=(num_tiles,),
@@ -511,7 +529,8 @@ def _dch_rows(n_hb, pack_n, cw_blk):
     return CHUNK * n_hb // pack_n * cw_blk
 
 
-def _bwd_kernel5(grid: TileGrid, s_cap: int, ch_blk, cw_blk, starts_ref,
+def _bwd_kernel5(grid: TileGrid, s_cap: int, ch_blk, cw_blk, lean,
+                 starts_ref,
                  counts_ref, cam_ref, records_ref, ids_ref, table_ref,
                  fwdout_ref, ncon_ref, gmaps_ref, drec_ref, dchart_ref,
                  ids_smem, tex_s, dx_s, dy_s, rec_win, chart_buf, drec_buf,
@@ -616,7 +635,6 @@ def _bwd_kernel5(grid: TileGrid, s_cap: int, ch_blk, cw_blk, starts_ref,
         cb = chart_buf[slot]
 
         a = r["alpha"]
-        m = r["m"]
         t_hit = r["t"]
         fl = r["flip"]
         s_glob = c * CHUNK + k_iota
@@ -626,19 +644,24 @@ def _bwd_kernel5(grid: TileGrid, s_cap: int, ch_blk, cw_blk, starts_ref,
         s_inv = _sufprod_incl(inv_q)
         t_k = t_end * s_inv                                  # T before splat k
         w = jnp.where(applied, a * t_k, 0.0)
-        wm = w * m
-
-        if MXU_LEVEL & 1:
-            sufs = _mx(_tri_excl_upper(CHUNK, 2),
-                       jnp.concatenate([w, wm], axis=0))
-            e_k = e_c + sufs[:CHUNK]
-            d_k = d_c + sufs[CHUNK:]
+        if lean:
+            # reg chain statically dead: no m/wm, no E/D suffix state
+            m = wm = e_k = d_k = big_a = big_c = d_m = None
         else:
-            e_k = e_c + _sufsum_excl(w)
-            d_k = d_c + _sufsum_excl(wm)
-        big_a = m0_tot - w - e_k
-        big_c = m1_tot - wm - d_k
-        d_m = 2.0 * g_reg * w * (big_a - e_k)
+            m = r["m"]
+            wm = w * m
+
+            if MXU_LEVEL & 1:
+                sufs = _mx(_tri_excl_upper(CHUNK, 2),
+                           jnp.concatenate([w, wm], axis=0))
+                e_k = e_c + sufs[:CHUNK]
+                d_k = d_c + sufs[CHUNK:]
+            else:
+                e_k = e_c + _sufsum_excl(w)
+                d_k = d_c + _sufsum_excl(wm)
+            big_a = m0_tot - w - e_k
+            big_c = m1_tot - wm - d_k
+            d_m = 2.0 * g_reg * w * (big_a - e_k)
 
         # --- per-splat texel fetch + chart grads ---
         h_c = _rep(chunk[:, 26:27], pix)
@@ -723,11 +746,13 @@ def _bwd_kernel5(grid: TileGrid, s_cap: int, ch_blk, cw_blk, starts_ref,
 
         s_direct = (rgb0 * g_img[0] + rgb1 * g_img[1] + rgb2 * g_img[2]
                     + tex0 * g_tex[0] + tex1 * g_tex[1] + tex2 * g_tex[2]
-                    + t_hit * g_depth + g_alpha
-                    + fl * (n0 * g_norm[0] + n1 * g_norm[1]
-                            + n2 * g_norm[2]))
-        s_k = s_direct + 2.0 * g_reg * ((m * big_a - big_c)
-                                        + (d_k - m * e_k))
+                    + t_hit * g_depth + g_alpha)
+        if not lean:
+            s_direct = s_direct + fl * (n0 * g_norm[0] + n1 * g_norm[1]
+                                        + n2 * g_norm[2])
+        s_k = (s_direct if lean
+               else s_direct + 2.0 * g_reg * ((m * big_a - big_c)
+                                              + (d_k - m * e_k)))
         sw = s_k * w
         if MXU_LEVEL & 1:
             bs_k = bs_c + _mx(_tri_excl_upper(CHUNK), sw)
@@ -764,9 +789,10 @@ def _bwd_kernel5(grid: TileGrid, s_cap: int, ch_blk, cw_blk, starts_ref,
 
         kfac = REG_FAR / (REG_FAR - REG_NEAR)
         d_t = w * g_depth
-        d_t = d_t + jnp.where(t_hit >= REG_NEAR,
-                              d_m * (kfac * REG_NEAR)
-                              * r["invtc"] * r["invtc"], 0.0)
+        if not lean:
+            d_t = d_t + jnp.where(t_hit >= REG_NEAR,
+                                  d_m * (kfac * REG_NEAR)
+                                  * r["invtc"] * r["invtc"], 0.0)
         d_t = d_t + d_u * r["b1d"] + d_v * r["b2d"]
         d_t = d_t + d_uvu * r["b1ud"] + d_uvv * r["b2ud"]
 
@@ -774,14 +800,14 @@ def _bwd_kernel5(grid: TileGrid, s_cap: int, ch_blk, cw_blk, starts_ref,
         d_an = d_t * r["inv_nd"]
         d_nd = jnp.where(nd_pass, -t_hit * d_an, 0.0)
 
-        wfl = w * fl
+        wfl = None if lean else w * fl
         td0, td1, td2 = t_hit * d0, t_hit * d1, t_hit * d2
         # fields 12-14/16-18 are the detached uv direction coefficients
         # (stop_gradient upstream) — their record grads are skipped (v4)
         vals = [
-            d_nd * d0 + wfl * g_norm[0],
-            d_nd * d1 + wfl * g_norm[1],
-            d_nd * d2 + wfl * g_norm[2],
+            d_nd * d0 if lean else d_nd * d0 + wfl * g_norm[0],
+            d_nd * d1 if lean else d_nd * d1 + wfl * g_norm[1],
+            d_nd * d2 if lean else d_nd * d2 + wfl * g_norm[2],
             d_an,
             d_u * td0,
             d_u * td1,
@@ -828,6 +854,10 @@ def _bwd_kernel5(grid: TileGrid, s_cap: int, ch_blk, cw_blk, starts_ref,
             dch_cp(c, slot).start()
 
         t_start = t_end * s_inv[0:1, :]
+        if lean:
+            bs_new = bs_c + (_mx(_block_ones(CHUNK, 1), sw)
+                             if MXU_LEVEL & 2 else _sum_rows(sw))
+            return (c - 1, t_start, bs_new, e_c, d_c)
         if MXU_LEVEL & 2:
             sums = _mx(_block_ones(CHUNK, 3),
                        jnp.concatenate([sw, w, wm], axis=0))
@@ -856,7 +886,8 @@ def _bwd_kernel5(grid: TileGrid, s_cap: int, ch_blk, cw_blk, starts_ref,
 
 
 def rasterize_pallas5_bwd(grid: TileGrid, chart_pad, s_cap, inputs, table,
-                          fwd_out, ncontrib, gmaps, interpret: bool = False):
+                          fwd_out, ncontrib, gmaps, interpret: bool = False,
+                          lean: bool = False):
     num_tiles = inputs.starts.shape[0]
     # records carry one tile-window of end padding (rec_rows); the flat
     # grad outputs are sized by the true slot capacity
@@ -871,7 +902,8 @@ def rasterize_pallas5_bwd(grid: TileGrid, chart_pad, s_cap, inputs, table,
     assert (slot_cap * n_hb) % pack_n == 0
     pix = grid.tile_h * grid.tile_w
     pr = pix // 128
-    kernel = functools.partial(_bwd_kernel5, grid, s_cap, ch_blk, cw_blk)
+    kernel = functools.partial(_bwd_kernel5, grid, s_cap, ch_blk, cw_blk,
+                               lean)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3,
         grid=(num_tiles,),

@@ -260,36 +260,37 @@ def _bwd_segments(fbins_gids, slot_valid, starts, counts, ncontrib, s_cap,
     return jnp.where(ok, fbins_gids, num_seg)
 
 
-@partial(jax.custom_vjp, nondiff_argnums=(0, 1, 2, 3))
-def _core5(grid: TileGrid, chart_pad, interpret, s_cap, records_n, gids,
-           slot_valid, table, starts, counts, cam_info):
+@partial(jax.custom_vjp, nondiff_argnums=(0, 1, 2, 3, 4))
+def _core5(grid: TileGrid, chart_pad, interpret, s_cap, lean, records_n,
+           gids, slot_valid, table, starts, counts, cam_info):
     fb = FlatBins(gids, slot_valid, starts, counts, None, None, None)
     maps, _ = rp5.rasterize_pallas5_fwd(
         grid, chart_pad, s_cap,
         _flat_inputs5(records_n, fb, s_cap, cam_info), table,
-        interpret=interpret)
+        interpret=interpret, lean=lean)
     return _repack(maps)
 
 
-def _core5_fwd(grid, chart_pad, interpret, s_cap, records_n, gids,
+def _core5_fwd(grid, chart_pad, interpret, s_cap, lean, records_n, gids,
                slot_valid, table, starts, counts, cam_info):
     fb = FlatBins(gids, slot_valid, starts, counts, None, None, None)
     inputs = _flat_inputs5(records_n, fb, s_cap, cam_info)
     maps, ncontrib = rp5.rasterize_pallas5_fwd(
-        grid, chart_pad, s_cap, inputs, table, interpret=interpret)
+        grid, chart_pad, s_cap, inputs, table, interpret=interpret,
+        lean=lean)
     out = _repack(maps)
     return out, (records_n, gids, slot_valid, table, starts, counts,
                  cam_info, inputs, out, ncontrib)
 
 
-def _core5_bwd(grid, chart_pad, interpret, s_cap, res, g_out):
+def _core5_bwd(grid, chart_pad, interpret, s_cap, lean, res, g_out):
     (records_n, gids, slot_valid, table, starts, counts, cam_info, inputs,
      out, ncontrib) = res
     pr = grid.tile_h * grid.tile_w // 128
     gmaps = g_out[:, : rpb.NG * pr, :]
     d_rec_flat, d_ch_flat = rp5.rasterize_pallas5_bwd(
         grid, chart_pad, s_cap, inputs, table, out, ncontrib, gmaps,
-        interpret=interpret)
+        interpret=interpret, lean=lean)
 
     num_seg = records_n.shape[0]
     seg = _bwd_segments(gids, slot_valid, starts, counts, ncontrib, s_cap,
@@ -336,8 +337,13 @@ def rasterize_pl5(
     s_cap: int,
     px_offset=None,
     interpret: bool = False,
+    lean: bool = False,
 ):
-    """Flat-path Pallas render; same outputs as ``rasterize.rasterize``."""
+    """Flat-path Pallas render; same outputs as ``rasterize.rasterize``.
+
+    ``lean=True`` (only valid when the reg/normal loss terms are
+    statically zero) skips the depth-distortion and normal compute chains
+    in both kernels; the reg/normal output maps come back as zeros."""
     chart_pad = (texture.shape[1], texture.shape[2])
     if (grid.tile_h * grid.tile_w) % 128 != 0:
         raise ValueError("pallas v5 needs tile_h*tile_w to be a multiple of "
@@ -348,9 +354,9 @@ def rasterize_pl5(
     records_n = _wide_records(geom, cam, texture_hw)
     if px_offset is None:
         px_offset = jnp.zeros((2,), jnp.float32)
-    out = _core5(grid, chart_pad, interpret, s_cap, records_n, fbins.gids,
-                 fbins.slot_valid, table, fbins.starts, fbins.counts,
-                 rp._cam_info(cam, px_offset))
+    out = _core5(grid, chart_pad, interpret, s_cap, lean, records_n,
+                 fbins.gids, fbins.slot_valid, table, fbins.starts,
+                 fbins.counts, rp._cam_info(cam, px_offset))
 
     def ch(name):
         i = rp.CH_NAMES.index(name)

@@ -98,9 +98,16 @@ def _render_band(cfg, params, buffers, cam, step, axis_name, bgrid, band_h,
                                                 rasterize_pl5_eval)
 
         interp = "interpret" in cfg.renderer
-        fn = rasterize_pl5_eval if eval_only else rasterize_pl5
-        maps = fn(prep.geom, texture, buffers.texture_hw, bins, cam, bgrid,
-                  s_cap=cfg.s_max, px_offset=px_offset, interpret=interp)
+        if eval_only:
+            maps = rasterize_pl5_eval(prep.geom, texture,
+                                      buffers.texture_hw, bins, cam, bgrid,
+                                      s_cap=cfg.s_max, px_offset=px_offset,
+                                      interpret=interp)
+        else:
+            maps = rasterize_pl5(prep.geom, texture, buffers.texture_hw,
+                                 bins, cam, bgrid, s_cap=cfg.s_max,
+                                 px_offset=px_offset, interpret=interp,
+                                 lean=model.lean_losses(cfg))
     elif cfg.renderer.startswith("pallas"):
         from ..ops.rasterize_pallas_api import rasterize_pl, rasterize_pl_eval
 

@@ -92,8 +92,8 @@ def gradcheck(method, data_dir, init_ply, renderer="pallas"):
 
 
 def synthetic_heldout(renderer: str, res: int, iters: int, out_dir: Path,
-                      n_gauss: int = 20000, seed: int = 0):
-    """Held-out-view synthetic parity: train 6 views, eval 2 unseen."""
+                      n_gauss: int = 20000, seed: int = 0, views: int = 8):
+    """Held-out-view synthetic parity: train on most views, eval unseen."""
     import jax
     import jax.numpy as jnp
 
@@ -120,9 +120,10 @@ def synthetic_heldout(renderer: str, res: int, iters: int, out_dir: Path,
             scene["features_rest"])
 
     params_gt, buffers_gt = gt_params()
-    # 8 azimuths; the two held-out views sit BETWEEN training azimuths
-    azis = [2 * np.pi * i / 8 for i in range(8)]
-    eval_idx = {3, 7}
+    # evenly spaced azimuths; every 4th view held out (sits BETWEEN
+    # training azimuths)
+    azis = [2 * np.pi * i / views for i in range(views)]
+    eval_idx = {i for i in range(views) if i % 4 == 3}
     cams = [orbit_camera(res, res, dist=4.0, azimuth=a, elevation=0.35)
             for a in azis]
 
@@ -190,6 +191,8 @@ def main(argv=None):
     p.add_argument("--res", type=int, default=800)
     p.add_argument("--n-gauss", type=int, default=20000,
                    help="synthetic-mode scene size")
+    p.add_argument("--views", type=int, default=16,
+                   help="synthetic-mode total views (every 4th held out)")
     p.add_argument("--dataset", choices=["blender", "dtu"],
                    default="blender")
     p.add_argument("--output-dir", default="parity_out")
@@ -214,7 +217,8 @@ def main(argv=None):
         report = {"mode": "synthetic_heldout", "renderer": renderer}
         report["heldout"] = synthetic_heldout(renderer, args.res, iters,
                                               out_dir,
-                                              n_gauss=args.n_gauss)
+                                              n_gauss=args.n_gauss,
+                                              views=args.views)
         report["psnr"] = report["heldout"]["psnr"]
         (out_dir / "parity.json").write_text(json.dumps(report, indent=1))
         print(json.dumps({k: v for k, v in report["heldout"].items()

@@ -365,3 +365,58 @@ def test_pallas_v5_truncation_matches_xla():
         np.testing.assert_allclose(np.asarray(out_pl[k]),
                                    np.asarray(out_xla[k]),
                                    atol=2e-5, rtol=1e-4, err_msg=k)
+
+
+def test_pallas_v5_lean_matches_full():
+    """lean=True (statically-zero reg/normal losses) must match the full
+    kernel on all live channels and all gradients when the reg/normal
+    cotangents are zero."""
+    from gstex_tpu.ops.rasterize_pallas_api import rasterize_pl5
+
+    scene, cam = setup(n=48, seed=3)
+    ks = jax.random.split(jax.random.key(9), 4)
+    cot = {
+        "img": jax.random.normal(ks[0], (H, W, 3)),
+        "texture_rgb": jax.random.normal(ks[1], (H, W, 3)),
+        "depth": 0.1 * jax.random.normal(ks[2], (H, W)),
+        "alpha": jax.random.normal(ks[3], (H, W)),
+    }
+    diff_keys = ["means", "log_scales", "quats", "opacity_logits",
+                 "features_dc", "features_rest", "texture"]
+    rest = {k: scene[k] for k in scene if k not in diff_keys}
+    diff = {k: scene[k] for k in diff_keys}
+    from gstex_tpu.ops.prepare import prepare_splats as _prep
+
+    def run(d, lean):
+        s = {**d, **rest}
+        prep = _prep(s["means"], s["log_scales"], s["quats"],
+                     s["opacity_logits"], s["features_dc"],
+                     s["features_rest"], s["mappings"], cam,
+                     active_sh_degree=3)
+        fbins = _flat_bins(prep)
+        return rasterize_pl5(prep.geom, s["texture"], s["texture_hw"],
+                             fbins, cam, GRID, s_cap=64, interpret=True,
+                             lean=lean)
+
+    out_l = run(diff, True)
+    out_f = run(diff, False)
+    for k in ["img", "texture_rgb", "depth", "alpha"]:
+        np.testing.assert_array_equal(np.asarray(out_l[k]),
+                                      np.asarray(out_f[k]), err_msg=k)
+    assert float(jnp.abs(out_l["reg"]).max()) == 0.0
+    assert float(jnp.abs(out_l["normal"]).max()) == 0.0
+
+    def loss(d, lean):
+        out = run(d, lean)
+        return sum(jnp.sum(out[k] * cot[k]) for k in cot)
+
+    g_l = jax.grad(lambda d: loss(d, True))(diff)
+    g_f = jax.grad(lambda d: loss(d, False))(diff)
+    for k in diff_keys:
+        # ~1ulp apart: the chunk-end MXU row-sum contracts 16 rows (lean)
+        # vs a 48-row block-diag (full) — same math, different bf16-pass
+        # accumulation grouping
+        a, b = np.asarray(g_l[k]), np.asarray(g_f[k])
+        scale = np.abs(b).max() + 1e-8
+        np.testing.assert_allclose(a / scale, b / scale, atol=1e-4,
+                                   err_msg=f"grad {k}")
