@@ -42,6 +42,15 @@ def main(argv=None):
     p.add_argument("--frames", type=int, default=120)
     p.add_argument("--fps", type=int, default=24)
     p.add_argument("--video", action="store_true")
+    p.add_argument("--camera-type", default="perspective",
+                   choices=["perspective", "equirectangular", "ods"],
+                   help="equirectangular/ods render panoramas at each "
+                        "pose via cubemap faces (ops/pano.py; reference "
+                        "cameras.py:805-816 camera types)")
+    p.add_argument("--pano-width", type=int, default=2048,
+                   help="panorama width (height = width/2)")
+    p.add_argument("--ipd", type=float, default=0.064,
+                   help="ODS inter-pupillary distance (world units)")
     args = p.parse_args(argv)
 
     from .eval_setup import eval_setup
@@ -102,8 +111,24 @@ def main(argv=None):
     from PIL import Image
 
     for i, cam in enumerate(cam_list):
-        out = trainer._eval(trainer.state, cam, bg)
-        rgb = (np.clip(np.asarray(out["rgb"]), 0, 1) * 255).astype(np.uint8)
+        if args.camera_type != "perspective":
+            from ..ops import pano
+
+            render_one = lambda c: trainer._eval(trainer.state, c,
+                                                 bg)["rgb"]
+            w = args.pano_width
+            h = w // 2
+            if args.camera_type == "equirectangular":
+                img = pano.render_equirect(render_one, np.asarray(cam.c2w),
+                                           h, w)
+            else:
+                img = pano.render_ods(render_one, np.asarray(cam.c2w), h,
+                                      w, ipd=args.ipd)
+            rgb = (np.clip(np.asarray(img), 0, 1) * 255).astype(np.uint8)
+        else:
+            out = trainer._eval(trainer.state, cam, bg)
+            rgb = (np.clip(np.asarray(out["rgb"]), 0, 1)
+                   * 255).astype(np.uint8)
         Image.fromarray(rgb).save(out_dir / f"frame_{i:05d}.png")
         if args.video:
             import cv2
