@@ -202,3 +202,22 @@ def test_cli_set_overrides(dataset_dir, tmp_path):
     assert cfg["model"]["tile_h"] == 8
     assert cfg["trainer"]["log_every"] == 1
     assert cfg["optim"]["xyz_lr_mult"] == 2.0
+
+
+def test_cli_completions_and_dev_test(tmp_path):
+    """gstex-completions generates a bash script covering every CLI;
+    gstex-dev-test's pytest invocation shape is sane (reference
+    completions/install.py + scripts/github/run_actions.py analogs)."""
+    from gstex_tpu.scripts.completions import generate_script
+
+    script = generate_script()
+    for cli in ("gstex-train", "gstex-render", "gstex-parity"):
+        assert f"complete -F _{cli.replace('-', '_')}_complete {cli}" \
+            in script
+    assert "--camera-type" in script      # render flags surfaced
+    assert "--synthetic" in script        # parity flags surfaced
+    out = tmp_path / "c.bash"
+    from gstex_tpu.scripts.completions import main as cmain
+
+    cmain(["--output", str(out)])
+    assert out.exists() and out.read_text() == script
