@@ -574,6 +574,17 @@ def _bwd_kernel5(grid: TileGrid, s_cap: int, ch_blk, cw_blk, lean,
     g_alpha = g_ch("alpha")
     g_norm = (g_ch("n0"), g_ch("n1"), g_ch("n2"))
     g_reg = g_ch("reg")
+    # MXU bit 3: the per-splat-constant part of s_direct
+    # (rgb·g_img + 1·g_alpha [+ n·g_norm]) is rank-1 per channel — one
+    # stacked (K, m)@(m, P) dot replaces m broadcast-FMA chains and the
+    # (K,1)->(K,P) lane reps feeding them. The cotangent matrix is
+    # loop-invariant: built once per tile.
+    gmat = None
+    if MXU_LEVEL & 8:
+        rows = [g_img[0], g_img[1], g_img[2], g_alpha]
+        if not lean:
+            rows += [g_norm[0], g_norm[1], g_norm[2]]
+        gmat = jnp.concatenate(rows, axis=0)              # (m, P)
 
     start = jnp.minimum(count, jnp.max(ncon) + 1)
     n_chunks = (start + CHUNK - 1) // CHUNK
@@ -736,20 +747,36 @@ def _bwd_kernel5(grid: TileGrid, s_cap: int, ch_blk, cw_blk, lean,
             tex_s[0], tex_s[1], tex_s[2] = zkp, zkp, zkp
             dx_s[:], dy_s[:] = zkp, zkp
         tex0, tex1, tex2 = tex_s[0], tex_s[1], tex_s[2]      # (K, P)
-        rgb0 = _rep(chunk[:, 21:22], pix)
-        rgb1 = _rep(chunk[:, 22:23], pix)
-        rgb2 = _rep(chunk[:, 23:24], pix)
-        n0 = _rep(chunk[:, 0:1], pix)
-        n1 = _rep(chunk[:, 1:2], pix)
-        n2 = _rep(chunk[:, 2:3], pix)
         op_c = _rep(chunk[:, 20:21], pix)
 
-        s_direct = (rgb0 * g_img[0] + rgb1 * g_img[1] + rgb2 * g_img[2]
-                    + tex0 * g_tex[0] + tex1 * g_tex[1] + tex2 * g_tex[2]
-                    + t_hit * g_depth + g_alpha)
-        if not lean:
-            s_direct = s_direct + fl * (n0 * g_norm[0] + n1 * g_norm[1]
-                                        + n2 * g_norm[2])
+        if MXU_LEVEL & 8:
+            ones_col = jnp.ones((CHUNK, 1), jnp.float32)
+            if lean:
+                cmat = jnp.concatenate([chunk[:, 21:24], ones_col], axis=1)
+                s_const = _mx(cmat, gmat)                    # (K, P)
+            else:
+                cmat = jnp.concatenate([chunk[:, 21:24], ones_col],
+                                       axis=1)
+                s_const = _mx(cmat, gmat[:4])
+                s_const = s_const + fl * _mx(chunk[:, 0:3], gmat[4:7])
+            s_direct = (s_const
+                        + tex0 * g_tex[0] + tex1 * g_tex[1]
+                        + tex2 * g_tex[2] + t_hit * g_depth)
+        else:
+            rgb0 = _rep(chunk[:, 21:22], pix)
+            rgb1 = _rep(chunk[:, 22:23], pix)
+            rgb2 = _rep(chunk[:, 23:24], pix)
+            s_direct = (rgb0 * g_img[0] + rgb1 * g_img[1] + rgb2 * g_img[2]
+                        + tex0 * g_tex[0] + tex1 * g_tex[1]
+                        + tex2 * g_tex[2]
+                        + t_hit * g_depth + g_alpha)
+            if not lean:
+                n0 = _rep(chunk[:, 0:1], pix)
+                n1 = _rep(chunk[:, 1:2], pix)
+                n2 = _rep(chunk[:, 2:3], pix)
+                s_direct = s_direct + fl * (n0 * g_norm[0]
+                                            + n1 * g_norm[1]
+                                            + n2 * g_norm[2])
         s_k = (s_direct if lean
                else s_direct + 2.0 * g_reg * ((m * big_a - big_c)
                                               + (d_k - m * e_k)))
