@@ -42,8 +42,10 @@ def main():
         cfg0 = model.GStexConfig(chart_pad=(8, 8), tile_h=32, tile_w=32,
                                  pixel_num=1e6, background_color="black")
 
-        @jax.jit
-        def demand():
+        import functools
+
+        @functools.partial(jax.jit, static_argnums=(0, 1))
+        def demand(pair_cap, s_cap):
             if scene_kind == "trained":
                 from gstex_tpu.data.synthetic import surface_scene
 
@@ -67,12 +69,20 @@ def main():
                                 grid)
             fb = build_tile_bins_flat(prep.centers, prep.extents,
                                       prep.depths, prep.valid, grid,
-                                      pair_cap=1 << 20, s_cap=4096,
+                                      pair_cap=pair_cap, s_cap=s_cap,
                                       cull_fn=cf)
             return fb.total_pairs, jnp.max(fb.counts), fb.overflow
 
-        tp, mtc, ovf = demand()
-        assert int(ovf) == 0, "demand pass overflowed its generous caps"
+        pair_cap, s_cap = 1 << 20, 4096
+        for _ in range(3):
+            tp, mtc, ovf = demand(pair_cap, s_cap)
+            if int(ovf) == 0:
+                return settle_caps(int(tp), int(mtc))
+            # denser config than the probe caps: double and retry (the
+            # trainer's growth loop), don't abort the whole bench
+            print(f"# demand pass overflowed (pair_cap={pair_cap}); "
+                  f"doubling", flush=True)
+            pair_cap, s_cap = pair_cap * 2, s_cap * 2
         return settle_caps(int(tp), int(mtc))
 
     def build(renderer, scene_kind="dense"):

@@ -337,6 +337,32 @@ def render(
         active_sh_degree=active_sh_degree(cfg, step),
         sh_degree=cfg.sh_degree, fix_init=cfg.fix_init,
         extent_sigma=cfg.sigma_factor)
+    if cfg.renderer == "oracle":
+        # per-pixel fp32 oracle (``gstex_cuda._torch_impl`` analog,
+        # SURVEY.md §4.1): no binning, no capacities, cannot overflow —
+        # the independent referee for parity GT (round-3 verdict item 2)
+        from ..ops.rasterize_ref import render_oracle
+
+        if cfg.sh_degree > 0:
+            texture = sh_ops.sh_to_rgb(params.texture)
+        else:
+            texture = jax.nn.sigmoid(params.texture)
+        maps = render_oracle(prep.geom, texture, buffers.texture_hw, cam,
+                             extra_channels=extra)
+        rgb = maps["img"] + maps["texture_rgb"] + (
+            1.0 - maps["alpha"][..., None]) * background[None, None, :]
+        out = dict(maps)
+        out["rgb"] = jnp.clip(rgb, 0.0, 1.0)
+        out["background"] = background
+        out["overflow"] = jnp.int32(0)
+        out["total_pairs"] = jnp.int32(0)
+        out["max_tile_count"] = jnp.int32(0)
+        if cfg.use_normal_loss:
+            from ..ops.normals import depth_to_normal
+
+            out["estimated_normals"] = jax.lax.stop_gradient(
+                depth_to_normal(maps["depth"], cam))
+        return out
     grid = cfg.grid(cam.height, cam.width)
     cull_fn = None
     if cfg.pair_cull:

@@ -92,8 +92,17 @@ def gradcheck(method, data_dir, init_ply, renderer="pallas"):
 
 
 def synthetic_heldout(renderer: str, res: int, iters: int, out_dir: Path,
-                      n_gauss: int = 20000, seed: int = 0, views: int = 8):
-    """Held-out-view synthetic parity: train on most views, eval unseen."""
+                      n_gauss: int = 20000, seed: int = 0,
+                      views: int = 125, gt_renderer: str = "oracle"):
+    """Held-out-view synthetic parity: train on most views, eval unseen.
+
+    GT views are rendered by an INDEPENDENT renderer tier — default the
+    per-pixel fp32 oracle (``ops/rasterize_ref.py``), the referee the
+    production path is gradchecked against — so a systematic bug in the
+    trained renderer cannot corrupt GT and prediction identically
+    (round-3 verdict weak #2). Every 5th view is held out: the default
+    125 views give 100 train / 25 unseen — Blender's training density
+    (``blender_dataparser.py:48-105``, ~100 train views per scene)."""
     import jax
     import jax.numpy as jnp
 
@@ -109,6 +118,7 @@ def synthetic_heldout(renderer: str, res: int, iters: int, out_dir: Path,
     cfg = model.GStexConfig(chart_pad=(8, 8), tile_h=32, tile_w=32,
                             pair_cap=1 << 19, s_max=2048, pixel_num=1e6,
                             background_color="black", renderer=renderer)
+    cfg_gt = dataclasses.replace(cfg, renderer=gt_renderer)
 
     @jax.jit
     def gt_params():
@@ -120,10 +130,10 @@ def synthetic_heldout(renderer: str, res: int, iters: int, out_dir: Path,
             scene["features_rest"])
 
     params_gt, buffers_gt = gt_params()
-    # evenly spaced azimuths; every 4th view held out (sits BETWEEN
+    # evenly spaced azimuths; every 5th view held out (sits BETWEEN
     # training azimuths)
     azis = [2 * np.pi * i / views for i in range(views)]
-    eval_idx = {i for i in range(views) if i % 4 == 3}
+    eval_idx = {i for i in range(views) if i % 5 == 4}
     cams = [orbit_camera(res, res, dist=4.0, azimuth=a, elevation=0.35)
             for a in azis]
 
@@ -134,12 +144,16 @@ def synthetic_heldout(renderer: str, res: int, iters: int, out_dir: Path,
         cam = Camera(fx=cam_tuple[0], fy=cam_tuple[1], cx=cam_tuple[2],
                      cy=cam_tuple[3], height=res, width=res,
                      c2w=cam_tuple[4])
-        out = model.render(cfg, params_gt, buffers_gt, cam,
-                           jnp.int32(10000), jnp.zeros(3), eval_only=True)
+        out = model.render(cfg_gt, params_gt, buffers_gt, cam,
+                           jnp.int32(10000), jnp.zeros(3),
+                           eval_only=gt_renderer.startswith("pallas"))
         return out["rgb"]
 
+    t_gt = time.time()
     views = [np.asarray(render_gt((c.fx, c.fy, c.cx, c.cy, c.c2w)))
              for c in cams]
+    print(f"[parity] {len(views)} GT views via {gt_renderer} renderer: "
+          f"{time.time() - t_gt:.1f}s")
     views_u8 = [(np.clip(v, 0, 1) * 255).astype(np.uint8) for v in views]
 
     # init: perturbed geometry + zeroed texture (the NVS runs start from a
@@ -178,6 +192,22 @@ def synthetic_heldout(renderer: str, res: int, iters: int, out_dir: Path,
     agg["res"] = res
     agg["n_gaussians"] = n_gauss
     agg["held_out_views"] = sorted(eval_idx)
+    agg["gt_renderer"] = gt_renderer
+    agg["train_views"] = len(train_cache)
+
+    # renderer-consistency check: the SAME trained state rendered by the
+    # production path and by the independent XLA tier must agree on the
+    # held-out views (a falsifiable cross-check, round-3 verdict item 2)
+    if renderer != "xla":
+        cam0, _, _ = eval_cache.get(0)
+        rp = model.render(tr.mcfg, tr.state.params, tr.state.buffers, cam0,
+                          jnp.int32(iters), jnp.zeros(3), eval_only=True)
+        cfg_x = dataclasses.replace(tr.mcfg, renderer="xla")
+        rx = model.render(cfg_x, tr.state.params, tr.state.buffers, cam0,
+                          jnp.int32(iters), jnp.zeros(3))
+        diff = float(jnp.abs(rp["rgb"] - rx["rgb"]).max())
+        agg["renderer_consistency_max_rgb_diff"] = diff
+        agg["renderer_consistency_pass"] = diff < 5e-3
     return agg
 
 
@@ -191,8 +221,13 @@ def main(argv=None):
     p.add_argument("--res", type=int, default=800)
     p.add_argument("--n-gauss", type=int, default=20000,
                    help="synthetic-mode scene size")
-    p.add_argument("--views", type=int, default=16,
-                   help="synthetic-mode total views (every 4th held out)")
+    p.add_argument("--views", type=int, default=125,
+                   help="synthetic-mode total views (every 5th held out; "
+                        "default 125 = 100 train views, Blender density)")
+    p.add_argument("--gt-renderer", default="oracle",
+                   choices=["oracle", "xla", "pallas"],
+                   help="renderer for the synthetic GT views (default: the "
+                        "independent per-pixel oracle)")
     p.add_argument("--dataset", choices=["blender", "dtu"],
                    default="blender")
     p.add_argument("--output-dir", default="parity_out")
@@ -214,11 +249,13 @@ def main(argv=None):
         iters = args.quick or 2000
         print(f"[parity] synthetic held-out protocol: {iters} iters at "
               f"{args.res}^2 ({renderer})")
-        report = {"mode": "synthetic_heldout", "renderer": renderer}
+        report = {"mode": "synthetic_heldout", "renderer": renderer,
+                  "gt_renderer": args.gt_renderer}
         report["heldout"] = synthetic_heldout(renderer, args.res, iters,
                                               out_dir,
                                               n_gauss=args.n_gauss,
-                                              views=args.views)
+                                              views=args.views,
+                                              gt_renderer=args.gt_renderer)
         report["psnr"] = report["heldout"]["psnr"]
         (out_dir / "parity.json").write_text(json.dumps(report, indent=1))
         print(json.dumps({k: v for k, v in report["heldout"].items()

@@ -50,6 +50,13 @@ def build_model(args, method, parsed):
         pts, cols = read_point_ply(args.init_lod_ply)
         raw = init_io.raw_from_points(pts, cols, sh_degree=mcfg.sh_degree,
                                       fix_init_pts=mcfg.fix_init)
+    elif args.init_pcd:
+        # open3d pcd init (``load_from_file``, reference gstex.py:697)
+        from ..utils.ply import read_pcd
+
+        pts, cols = read_pcd(args.init_pcd)
+        raw = init_io.raw_from_points(pts, cols, sh_degree=mcfg.sh_degree,
+                                      fix_init_pts=mcfg.fix_init)
     elif parsed.points_xyz is not None:
         raw = init_io.raw_from_points(parsed.points_xyz, parsed.points_rgb,
                                       sh_degree=mcfg.sh_degree,
@@ -97,6 +104,8 @@ def add_common_args(p):
     p.add_argument("--init-ply", default=None)
     p.add_argument("--init-npz", default=None)
     p.add_argument("--init-lod-ply", default=None)
+    p.add_argument("--init-pcd", default=None,
+                   help="point-cloud .pcd init (reference load_from_file)")
     p.add_argument("--num-random", type=int, default=50000)
     p.add_argument("--output-dir", default=None)
     p.add_argument("--max-num-iterations", type=int, default=None)
@@ -119,8 +128,8 @@ def add_common_args(p):
     p.add_argument("--num-devices", type=int, default=0,
                    help=">1: shard tile rows across a device mesh")
     p.add_argument("--renderer", default=None,
-                   choices=["xla", "pallas", "pallas1", "pallas2",
-                            "pallas3", "pallas4", "pallas5",
+                   choices=["xla", "oracle", "pallas", "pallas1",
+                            "pallas2", "pallas3", "pallas4", "pallas5",
                             "pallas_interpret", "pallas5_interpret"],
                    help="renderer tier override (default: method config)")
     p.add_argument("--set", action="append", default=[], dest="overrides",

