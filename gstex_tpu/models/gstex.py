@@ -80,10 +80,23 @@ class GStexConfig:
     # conservative per-pair alpha cull at binning time (ops/cull.py):
     # output-identical (drops only pairs the kernel's 1/255 cutoff zeroes)
     pair_cull: bool = True
+    # mixed precision (the reference plumbs GradScaler but ships
+    # mixed_precision=False, ``engine/trainer.py:130,460``): "bf16" streams
+    # the packed chart table in bfloat16 — texel fetches upcast to f32 in
+    # the kernels and every gradient/accumulation stays f32. Halves the
+    # chart DMA traffic; PSNR impact measured on the held-out protocol
+    # (DESIGN.md round-4 notes) before choosing the default.
+    texel_dtype: str = "f32"              # f32 | bf16
 
     def grid(self, height: int, width: int) -> TileGrid:
         return TileGrid(height=height, width=width,
                         tile_h=self.tile_h, tile_w=self.tile_w)
+
+
+def _table_dtype(cfg: "GStexConfig"):
+    """Packed-chart-table dtype for the texel_dtype mixed-precision knob
+    (bf16 texel streams, f32 accumulation everywhere)."""
+    return jnp.bfloat16 if cfg.texel_dtype == "bf16" else None
 
 
 def lean_losses(cfg: "GStexConfig") -> bool:
@@ -398,14 +411,16 @@ def render(
 
         maps = rasterize_pl5_eval(prep.geom, texture, buffers.texture_hw,
                                   bins, cam, grid, s_cap=cfg.s_max,
-                                  interpret="interpret" in cfg.renderer)
+                                  interpret="interpret" in cfg.renderer,
+                                  table_dtype=_table_dtype(cfg))
     elif use_flat:
         from ..ops.rasterize_pallas_api import rasterize_pl5
 
         maps = rasterize_pl5(prep.geom, texture, buffers.texture_hw, bins,
                              cam, grid, s_cap=cfg.s_max,
                              interpret="interpret" in cfg.renderer,
-                             lean=lean_losses(cfg))
+                             lean=lean_losses(cfg), background=background,
+                             table_dtype=_table_dtype(cfg))
     elif cfg.renderer.startswith("pallas") and not extra and eval_only:
         from ..ops.rasterize_pallas_api import rasterize_pl_eval
 
@@ -430,11 +445,11 @@ def render(
     else:
         maps = rasterize(prep.geom, texture, buffers.texture_hw, bins, cam,
                          grid, extra_channels=extra)
-    rgb = maps["img"] + maps["texture_rgb"] + (
-        1.0 - maps["alpha"][..., None]) * background[None, None, :]
-    rgb = jnp.clip(rgb, 0.0, 1.0)  # gstex.py:1204-1205
     out = dict(maps)
-    out["rgb"] = rgb
+    if "rgb" not in maps:
+        rgb = maps["img"] + maps["texture_rgb"] + (
+            1.0 - maps["alpha"][..., None]) * background[None, None, :]
+        out["rgb"] = jnp.clip(rgb, 0.0, 1.0)  # gstex.py:1204-1205
     out["background"] = background
     out["overflow"] = bins.overflow
     out["total_pairs"] = bins.total_pairs
@@ -556,15 +571,23 @@ def loss_fn(cfg: GStexConfig, outputs: dict, gt_rgb: jax.Array, step,
         gt = gt * mask
     l1 = jnp.mean(jnp.abs(gt - pred))
     simloss = 1.0 - ssim_ops.ssim(gt, pred)
-    lam_n = schedule_value(cfg.lambda_normal, step)
-    lam_r = schedule_value(cfg.lambda_reg, step)
-    # normal loss: mean(α − n·n̂); with use_normal_loss the estimate comes
-    # from the (detached) depth map, else n̂ = n (gstex.py:1218-1222,1316)
-    estimated = outputs.get("estimated_normals", outputs["normal"])
-    normal_loss = lam_n * jnp.mean(
-        outputs["alpha"]
-        - jnp.sum(outputs["normal"] * estimated, axis=-1))
-    reg_loss = lam_r * jnp.mean(outputs["reg"])
+    if lean_losses(cfg):
+        # statically-zero regularizers: skip the terms entirely so the
+        # normal/reg map untiling and its backward DCE away (XLA does not
+        # fold 0*x, so a traced zero keeps the whole chain alive)
+        normal_loss = jnp.float32(0.0)
+        reg_loss = jnp.float32(0.0)
+    else:
+        lam_n = schedule_value(cfg.lambda_normal, step)
+        lam_r = schedule_value(cfg.lambda_reg, step)
+        # normal loss: mean(α − n·n̂); with use_normal_loss the estimate
+        # comes from the (detached) depth map, else n̂ = n
+        # (gstex.py:1218-1222,1316)
+        estimated = outputs.get("estimated_normals", outputs["normal"])
+        normal_loss = lam_n * jnp.mean(
+            outputs["alpha"]
+            - jnp.sum(outputs["normal"] * estimated, axis=-1))
+        reg_loss = lam_r * jnp.mean(outputs["reg"])
     main = (1.0 - cfg.ssim_lambda) * l1 + cfg.ssim_lambda * simloss
     total = main + normal_loss + reg_loss
     return total, {"main_loss": main, "l1": l1, "ssim_loss": simloss,

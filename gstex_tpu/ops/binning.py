@@ -261,7 +261,6 @@ def build_tile_bins_flat(
     offsets = jnp.cumsum(counts) - counts
     total = offsets[-1] + counts[-1] if n > 0 else jnp.int32(0)
 
-    k = jnp.arange(pair_cap, dtype=jnp.int32)
     gid = _pair_owner(counts, offsets, pair_cap)
     # ONE per-pair row gather for everything per-gaussian the pipeline
     # needs — AABB origin/width, pair offset, sort depth, and the cull's
@@ -274,20 +273,28 @@ def build_tile_bins_flat(
     table = jnp.stack(cols, axis=1)
     if fused_cull:
         table = jnp.concatenate([table, cull_fn.table], axis=1)
-    row = table[gid]
-    local = k - row[:, 3].astype(jnp.int32)
-    w_g = jnp.maximum(row[:, 2].astype(jnp.int32), 1)
-    ty = row[:, 1].astype(jnp.int32) + local // w_g
-    tx = row[:, 0].astype(jnp.int32) + local % w_g
-    tile = ty * grid.ntx + tx
-    depth_k = row[:, 4]
-    pair_valid = k < total
+    # transpose ONCE to quantities-on-rows (C, P): every per-pair column
+    # below is then a free (1, P) row slice. In P-major form each column
+    # extraction is an (8,128)->(1024) relayout — the slice_reduce fusions
+    # cost 6.5 ms/step at 393k pairs in the round-3 trace.
+    rowT = table[gid].T                                       # (C, P)
+    k2 = jax.lax.broadcasted_iota(jnp.int32, (1, pair_cap), 1)
+    local = k2 - rowT[3:4].astype(jnp.int32)
+    w_g = jnp.maximum(rowT[2:3].astype(jnp.int32), 1)
+    ty2 = rowT[1:2].astype(jnp.int32) + local // w_g
+    tx2 = rowT[0:1].astype(jnp.int32) + local % w_g
+    tile2 = ty2 * grid.ntx + tx2
+    pair_valid = k2 < total
     if fused_cull:
-        pair_valid = jnp.logical_and(pair_valid,
-                                     cull_fn.eval_rows(row[:, 5:], tx, ty))
+        pair_valid = jnp.logical_and(
+            pair_valid, cull_fn.eval_rows_t(rowT[5:], tx2, ty2))
     elif cull_fn is not None:
-        pair_valid = jnp.logical_and(pair_valid, cull_fn(gid, tx, ty))
-    tile = jnp.where(pair_valid, tile, nt)  # sentinel sorts last
+        pair_valid = jnp.logical_and(
+            pair_valid, cull_fn(gid, tx2.reshape(-1),
+                                ty2.reshape(-1)).reshape(1, -1))
+    tile2 = jnp.where(pair_valid, tile2, nt)  # sentinel sorts last
+    tile = tile2.reshape(pair_cap)
+    depth_k = rowT[4:5].reshape(pair_cap)
 
     tile_s, _, gid_s = jax.lax.sort((tile, depth_k, gid), num_keys=3)
 
@@ -299,12 +306,15 @@ def build_tile_bins_flat(
     padded = -(-clamped // SLOT_ALIGN) * SLOT_ALIGN
     starts = (jnp.cumsum(padded) - padded).astype(jnp.int32)
 
-    # one (nt, 2) row gather for (segment start, slot start)
-    ss = jnp.stack([seg0, starts], axis=1)[jnp.minimum(tile_s, nt - 1)]
-    rank = k - ss[:, 0]
+    # one (nt, 2) row gather for (segment start, slot start), kept 2-D
+    ssT = jnp.stack([seg0, starts], axis=1)[
+        jnp.minimum(tile_s, nt - 1)].T                        # (2, P)
+    k1r = jax.lax.broadcasted_iota(jnp.int32, (1, pair_cap), 1)
+    rank2 = k1r - ssT[0:1]
     slot_cap = flat_slot_cap(pair_cap, nt)
-    in_range = jnp.logical_and(tile_s < nt, rank < s_cap)
-    slot = jnp.where(in_range, ss[:, 1] + rank, slot_cap)
+    in_range = jnp.logical_and(tile_s.reshape(1, -1) < nt, rank2 < s_cap)
+    slot = jnp.where(in_range, ssT[1:2] + rank2,
+                     slot_cap).reshape(pair_cap)
     # single scatter: store gid+1 so validity rides along (0 = empty slot)
     g1 = jnp.zeros((slot_cap,), jnp.int32).at[slot].set(gid_s + 1,
                                                         mode="drop")

@@ -98,31 +98,35 @@ def make_pair_cull(geom: SplatGeom, cam: Camera, grid: TileGrid,
         geom.xy[:, 0], geom.xy[:, 1],
     ], axis=1)                                                # (N, 18)
 
-    def eval_rows(row: jax.Array, tx: jax.Array, ty: jax.Array) -> jax.Array:
-        """Evaluate the cull on pre-gathered table rows (P, 18). Exposed so
-        the binning stage can fuse this table into its single per-pair row
-        gather (separate gathers measured ~6x slower at 512k pairs)."""
+    def eval_rows_t(rowT: jax.Array, tx2: jax.Array,
+                    ty2: jax.Array) -> jax.Array:
+        """Evaluate the cull on TRANSPOSED pre-gathered rows (18, P) with
+        (1, P) tile coords; returns a (1, P) keep mask. Exposed so the
+        binning stage can fuse this table into its single per-pair row
+        gather and keep every per-pair quantity in quantities-on-rows 2-D
+        form (P-major column slices each pay an (8,128)->(1024) relayout —
+        6.5 ms/step at 393k pairs in the round-3 trace)."""
         # Lane layout: pairs ride the LANE axis, the 4 rect corners the
         # sublane axis — (4, P) arrays. The transposed form ((P, 4),
         # corners minor) runs every corner op at 4/128 lane utilization on
         # TPU (~30x slower at 512k pairs; measured, scripts_dev/tpu_binflat)
 
         def coef(c):
-            return row[:, c][None, :]                         # (1, P)
+            return rowT[c:c + 1]                              # (1, P)
 
         # pixel-center rect covered by the tile: columns/rows
         # [t*tile - 0.5, t*tile + tile - 0.5] in continuous px coords
         # (pixel centers sit at integer px; +0.5 enters in the ray dirs).
         # Using the full half-open rect (not just center points) is
         # conservative for edge tiles.
-        x0 = tx.astype(jnp.float32) * grid.tile_w - 0.5 + off_x
+        x0 = tx2.astype(jnp.float32) * grid.tile_w - 0.5 + off_x
         x1 = x0 + grid.tile_w
-        y0 = ty.astype(jnp.float32) * grid.tile_h - 0.5 + off_y
+        y0 = ty2.astype(jnp.float32) * grid.tile_h - 0.5 + off_y
         y1 = y0 + grid.tile_h
 
         # camera-frame corner dir scalars ((px+0.5-c)/f)
-        cxs = jnp.stack([x0, x1, x0, x1], axis=0)             # (4, P)
-        cys = jnp.stack([y0, y0, y1, y1], axis=0)
+        cxs = jnp.concatenate([x0, x1, x0, x1], axis=0)       # (4, P)
+        cys = jnp.concatenate([y0, y0, y1, y1], axis=0)
         dxc = (cxs + 0.5 - cam.cx) / cam.fx
         dyc = (cys + 0.5 - cam.cy) / cam.fy
 
@@ -130,35 +134,41 @@ def make_pair_cull(geom: SplatGeom, cam: Camera, grid: TileGrid,
             return coef(c0) * dxc + coef(c1) * dyc + coef(c2)
 
         denom = affine(0, 1, 2)                               # (4, P) n.d
-        same_sign = jnp.logical_or(jnp.all(denom > 1e-9, axis=0),
-                                   jnp.all(denom < -1e-9, axis=0))
+        same_sign = jnp.logical_or(
+            jnp.all(denom > 1e-9, axis=0, keepdims=True),
+            jnp.all(denom < -1e-9, axis=0, keepdims=True))    # (1, P)
         safe_denom = jnp.where(jnp.abs(denom) < 1e-9, 1e-9, denom)
         t = coef(9) / safe_denom                              # (4, P)
         u = (coef(10) + t * affine(3, 4, 5)) * coef(12)
         v = (coef(11) + t * affine(6, 7, 8)) * coef(13)
 
         def interval_dist0(c):
-            lo = jnp.min(c, axis=0)
-            hi = jnp.max(c, axis=0)
+            lo = jnp.min(c, axis=0, keepdims=True)
+            hi = jnp.max(c, axis=0, keepdims=True)
             return jnp.maximum(jnp.maximum(lo, -hi), 0.0)
 
         r2_min = interval_dist0(u) ** 2 + interval_dist0(v) ** 2
-        surf_dead = r2_min > row[:, 14] + _R2_MARGIN
+        surf_dead = r2_min > coef(14) + _R2_MARGIN
 
         # screen-space AA term: distance from projected center to the rect
-        xyx = row[:, 16]
-        xyy = row[:, 17]
+        xyx = coef(16)
+        xyy = coef(17)
         ddx = jnp.maximum(jnp.maximum(x0 - xyx, xyx - x1), 0.0)
         ddy = jnp.maximum(jnp.maximum(y0 - xyy, xyy - y1), 0.0)
         r2_screen = ddx * ddx + ddy * ddy
-        screen_dead = r2_screen > row[:, 15] + _R2_MARGIN
+        screen_dead = r2_screen > coef(15) + _R2_MARGIN
 
         # t <= 1e-6 zeroes both terms (surfel.intersect); t extrema are at
         # corners under the same-sign guarantee.
-        t_dead = jnp.max(t, axis=0) <= 1e-6
+        t_dead = jnp.max(t, axis=0, keepdims=True) <= 1e-6
 
-        dead = jnp.logical_or(t_dead, jnp.logical_and(surf_dead, screen_dead))
+        dead = jnp.logical_or(t_dead, jnp.logical_and(surf_dead,
+                                                      screen_dead))
         return jnp.logical_not(jnp.logical_and(same_sign, dead))
+
+    def eval_rows(row: jax.Array, tx: jax.Array, ty: jax.Array) -> jax.Array:
+        """P-major compatibility wrapper over ``eval_rows_t``."""
+        return eval_rows_t(row.T, tx[None, :], ty[None, :])[0]
 
     def cull_fn(gid: jax.Array, tx: jax.Array, ty: jax.Array) -> jax.Array:
         shape = gid.shape
@@ -169,4 +179,5 @@ def make_pair_cull(geom: SplatGeom, cam: Camera, grid: TileGrid,
     # the binning stage fuses this table into its own per-pair row gather
     cull_fn.table = table
     cull_fn.eval_rows = eval_rows
+    cull_fn.eval_rows_t = eval_rows_t
     return cull_fn

@@ -85,10 +85,14 @@ def _chart_blocks(ch_blk):
     return H_SUB, ch_blk // H_SUB
 
 
-def pack_charts_v4(texture: jax.Array) -> jax.Array:
+def pack_charts_v4(texture: jax.Array, dtype=None) -> jax.Array:
     """(N, Ch, Cw, 3) -> (N, n_hb*Cw', 128): per-gaussian h-block-major
     slabs, each (Cw', 3*hsub) c-major lanes padded to 128. Equals
-    ``pack_charts_cmajor`` when the chart fits one lane tile (n_hb=1)."""
+    ``pack_charts_cmajor`` when the chart fits one lane tile (n_hb=1).
+
+    ``dtype`` overrides the packed table dtype (the bf16 texel-stream
+    mixed-precision knob, ``GStexConfig.texel_dtype``); defaults to the
+    module-level TABLE_DTYPE env setting."""
     n, ch, cw, c = texture.shape
     ch_blk = _ch_blk_of(ch)
     hsub, n_hb = _chart_blocks(ch_blk)
@@ -100,7 +104,8 @@ def pack_charts_v4(texture: jax.Array) -> jax.Array:
     from .rasterize_pallas import CH3_PAD as _pad128
 
     t = jnp.pad(t, ((0, 0), (0, 0), (0, 0), (0, _pad128 - 3 * hsub)))
-    return t.reshape(n, n_hb * cw_blk, _pad128).astype(TABLE_DTYPE)
+    return t.reshape(n, n_hb * cw_blk,
+                     _pad128).astype(dtype or TABLE_DTYPE)
 
 
 import os as _os

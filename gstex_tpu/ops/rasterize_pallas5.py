@@ -330,7 +330,7 @@ def rasterize_pallas5_fwd(grid: TileGrid, chart_pad, s_cap: int,
         scratch_shapes=[
             pltpu.SMEM((ids_window(s_cap),), jnp.int32),
             pltpu.VMEM((s_cap, REC_W), jnp.float32),
-            pltpu.VMEM((2, CHUNK * g_rows, CH3_PAD), TABLE_DTYPE),
+            pltpu.VMEM((2, CHUNK * g_rows, CH3_PAD), table.dtype),
             pltpu.SemaphoreType.DMA,
             pltpu.SemaphoreType.DMA((2,)),
             pltpu.SemaphoreType.DMA,
@@ -494,7 +494,7 @@ def rasterize_pallas5_eval(grid: TileGrid, chart_pad, s_cap: int,
         scratch_shapes=[
             pltpu.SMEM((ids_window(s_cap),), jnp.int32),
             pltpu.VMEM((s_cap, REC_W), jnp.float32),
-            pltpu.VMEM((2, CHUNK * g_rows, CH3_PAD), TABLE_DTYPE),
+            pltpu.VMEM((2, CHUNK * g_rows, CH3_PAD), table.dtype),
             pltpu.SemaphoreType.DMA,
             pltpu.SemaphoreType.DMA((2,)),
             pltpu.SemaphoreType.DMA,
@@ -529,6 +529,28 @@ def _dch_rows(n_hb, pack_n, cw_blk):
     return CHUNK * n_hb // pack_n * cw_blk
 
 
+def dch_row_lanes(n_hb, cw_blk, cg):
+    """v5 d_charts layout: ONE row per slot, lanes = the flattened
+    (n_hb, cw_blk, cg) chart-grad block padded to a 128 multiple. The
+    segment reduction consumes rows directly — no post-kernel relayout
+    (the packed layout's slice/reshape/transpose chain cost 11.2 ms/step
+    at 800² in the round-3 trace)."""
+    L = n_hb * cw_blk * cg
+    return L, -(-L // 128) * 128
+
+
+def _flatten_unit(dcg, cw_blk, cg, lane_mask):
+    """(cw, cg) unit block -> (1, cw*cg) row-major flattened row.
+
+    Mosaic supports neither the (cw,cg)->(1,cw*cg) shape cast nor
+    lane-concat of sublane-offset slices; an MXU ones-dot is bf16-rounded.
+    This exact formulation tiles the block along lanes and reduces over
+    sublanes under a one-hot mask (~0.5 us per 16-splat chunk on-chip,
+    scripts_dev fatten probe)."""
+    rep = jnp.concatenate([dcg] * cw_blk, axis=1)        # (cw, cw*cg)
+    return jnp.sum(rep * lane_mask, axis=0, keepdims=True)
+
+
 def _bwd_kernel5(grid: TileGrid, s_cap: int, ch_blk, cw_blk, lean,
                  starts_ref,
                  counts_ref, cam_ref, records_ref, ids_ref, table_ref,
@@ -552,8 +574,7 @@ def _bwd_kernel5(grid: TileGrid, s_cap: int, ch_blk, cw_blk, lean,
     hsub, n_hb = _chart_blocks(ch_blk)
     g_rows = n_hb * cw_blk
     cg = _cg_lanes(hsub)
-    pack_n = CH3_PAD // cg
-    dch_chunk_rows = _dch_rows(n_hb, pack_n, cw_blk)
+    dch_l, dch_lp = dch_row_lanes(n_hb, cw_blk, cg)
 
     def fwd_ch(name):
         i = CH_NAMES.index(name)
@@ -599,10 +620,11 @@ def _bwd_kernel5(grid: TileGrid, s_cap: int, ch_blk, cw_blk, lean,
             drec_sem.at[slot])
 
     def dch_cp(c, slot):
-        row0 = (astart + c * CHUNK) * n_hb // pack_n * cw_blk
+        # one row per slot: the chunk block lands at its slot offset
         return pltpu.make_async_copy(
             dch_buf.at[slot],
-            dchart_ref.at[pl.ds(pl.multiple_of(row0, 8), dch_chunk_rows)],
+            dchart_ref.at[pl.ds(pl.multiple_of(astart + c * CHUNK, CHUNK),
+                                CHUNK)],
             dch_sem.at[slot])
 
     @pl.when(n_chunks > 0)
@@ -682,7 +704,10 @@ def _bwd_kernel5(grid: TileGrid, s_cap: int, ch_blk, cw_blk, lean,
         a_io = _row_iota((hsub, pix)).astype(jnp.float32)
         b_io = _row_iota((cw_blk, pix)).astype(jnp.float32)
         pad_rows = cg - 3 * hsub
-        d_chart_grp = []
+        lm_flat = (jax.lax.broadcasted_iota(
+            jnp.int32, (cw_blk, cw_blk * cg), 1) // cg
+            == jax.lax.broadcasted_iota(
+                jnp.int32, (cw_blk, cw_blk * cg), 0)).astype(jnp.float32)
         ks_fetch = [] if "fetch" in _DEBUG_SKIP else list(range(CHUNK))
         for k in ks_fetch:
             h_g = h_c[k:k + 1, :]
@@ -698,6 +723,7 @@ def _bwd_kernel5(grid: TileGrid, s_cap: int, ch_blk, cw_blk, lean,
             coeff_dx = jnp.zeros((1, pix), jnp.float32)
             d_wy = jnp.zeros((cw_blk, pix), jnp.float32)
             texk = [jnp.zeros((1, pix), jnp.float32) for _ in range(3)]
+            row_units = []
             for b in range(n_hb):
                 a_b = a_io + b * hsub
                 wx = jnp.maximum(0.0, 1.0 - jnp.abs(xg - a_b))   # (hsub, P)
@@ -710,18 +736,10 @@ def _bwd_kernel5(grid: TileGrid, s_cap: int, ch_blk, cw_blk, lean,
                 m2 = jnp.concatenate(
                     [wxk * g_tex[ci] for ci in range(3)]
                     + [jnp.zeros((pad_rows, pix), jnp.float32)], axis=0)
-                d_chart_grp.append(jax.lax.dot_general(
+                dcg = jax.lax.dot_general(
                     wy, m2, (((1,), (1,)), ((), ())),
-                    preferred_element_type=jnp.float32))          # (cw, cg)
-                if len(d_chart_grp) == pack_n:
-                    g_idx = u // pack_n
-                    if pack_n * cg < CH3_PAD:   # e.g. cg=96 multi-block
-                        d_chart_grp.append(jnp.zeros(
-                            (cw_blk, CH3_PAD - pack_n * cg), jnp.float32))
-                    blk = jnp.concatenate(d_chart_grp, axis=1)    # (cw, 128)
-                    dch_buf[slot, g_idx * cw_blk:(g_idx + 1) * cw_blk, :] = \
-                        blk
-                    d_chart_grp = []
+                    preferred_element_type=jnp.float32)           # (cw, cg)
+                row_units.append(_flatten_unit(dcg, cw_blk, cg, lm_flat))
 
                 coeff = (g_tex[0] * tmp[0 * hsub:1 * hsub, :]
                          + g_tex[1] * tmp[1 * hsub:2 * hsub, :]
@@ -736,6 +754,10 @@ def _bwd_kernel5(grid: TileGrid, s_cap: int, ch_blk, cw_blk, lean,
                 for ci in range(3):
                     prod = wx * tmp[ci * hsub:(ci + 1) * hsub, :]
                     texk[ci] = texk[ci] + _sum_rows(prod)
+
+            if dch_lp > dch_l:
+                row_units.append(jnp.zeros((1, dch_lp - dch_l), jnp.float32))
+            dch_buf[slot, k:k + 1, :] = jnp.concatenate(row_units, axis=1)
 
             dx_s[k:k + 1, :] = wk * coeff_dx
             dy_s[k:k + 1, :] = _sum_rows(d_wy * dwy_dy)
@@ -924,9 +946,7 @@ def rasterize_pallas5_bwd(grid: TileGrid, chart_pad, s_cap, inputs, table,
     hsub, n_hb = _chart_blocks(ch_blk)
     g_rows = n_hb * cw_blk
     cg = _cg_lanes(hsub)
-    pack_n = CH3_PAD // cg
-    dch_chunk_rows = _dch_rows(n_hb, pack_n, cw_blk)
-    assert (slot_cap * n_hb) % pack_n == 0
+    dch_l, dch_lp = dch_row_lanes(n_hb, cw_blk, cg)
     pix = grid.tile_h * grid.tile_w
     pr = pix // 128
     kernel = functools.partial(_bwd_kernel5, grid, s_cap, ch_blk, cw_blk,
@@ -952,9 +972,9 @@ def rasterize_pallas5_bwd(grid: TileGrid, chart_pad, s_cap, inputs, table,
             pltpu.VMEM((CHUNK, pix), jnp.float32),
             pltpu.VMEM((CHUNK, pix), jnp.float32),
             pltpu.VMEM((s_cap, REC_W), jnp.float32),
-            pltpu.VMEM((2, CHUNK * g_rows, CH3_PAD), TABLE_DTYPE),
+            pltpu.VMEM((2, CHUNK * g_rows, CH3_PAD), table.dtype),
             pltpu.VMEM((2, CHUNK, REC_W), jnp.float32),
-            pltpu.VMEM((2, dch_chunk_rows, CH3_PAD), jnp.float32),
+            pltpu.VMEM((2, CHUNK, dch_lp), jnp.float32),
             pltpu.SemaphoreType.DMA,
             pltpu.SemaphoreType.DMA((2,)),
             pltpu.SemaphoreType.DMA((2,)),
@@ -967,8 +987,7 @@ def rasterize_pallas5_bwd(grid: TileGrid, chart_pad, s_cap, inputs, table,
         grid_spec=grid_spec,
         out_shape=[
             jax.ShapeDtypeStruct((slot_cap, REC_W), jnp.float32),
-            jax.ShapeDtypeStruct(
-                (slot_cap * n_hb // pack_n * cw_blk, CH3_PAD), jnp.float32),
+            jax.ShapeDtypeStruct((slot_cap, dch_lp), jnp.float32),
         ],
         interpret=interpret,
         compiler_params=pltpu.CompilerParams(

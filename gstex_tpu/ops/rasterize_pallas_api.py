@@ -204,9 +204,9 @@ def flat_dcharts_bytes(chart_pad, pair_cap: int, num_tiles: int) -> int:
     slot_cap = flat_slot_cap(pair_cap, num_tiles)
     ch_blk = rp4._ch_blk_of(chart_pad[0])
     hsub, n_hb = rp4._chart_blocks(ch_blk)
-    pack_n = rp.CH3_PAD // rp4._cg_lanes(hsub)
+    cg = rp4._cg_lanes(hsub)
     cw_blk = -(-chart_pad[1] // 8) * 8
-    return slot_cap * n_hb // pack_n * cw_blk * rp.CH3_PAD * 4
+    return slot_cap * rp5.dch_row_lanes(n_hb, cw_blk, cg)[1] * 4
 
 
 def use_flat_path(renderer: str, chart_pad, pair_cap: int,
@@ -248,16 +248,24 @@ def _bwd_segments(fbins_gids, slot_valid, starts, counts, ncontrib, s_cap,
                   num_seg):
     """Per-slot segment ids for the flat grad reductions: slots the
     count-limited backward walk never wrote (post-saturation chunks, tail
-    padding) route to the sentinel segment ``num_seg`` and are dropped."""
+    padding) route to the sentinel segment ``num_seg`` and are dropped.
+
+    One (nt, 2) ROW gather instead of two 1-D gathers: 1-D (T(1024))
+    gathers from a small table cost ~2 ms each at 400k slots on-chip
+    (round-3 trace, fusion.3/fusion.5) while row gathers are vectorized.
+    """
     slot_cap = fbins_gids.shape[0]
     nt = starts.shape[0]
     ncon_max = jnp.max(ncontrib.reshape(nt, -1), axis=1)
     walked = jnp.minimum(jnp.minimum(counts, s_cap), ncon_max + 1)
     wchunks = -(-walked // rp5.CHUNK) * rp5.CHUNK        # aligned extent
     tile_of = _tile_of_slot(starts, slot_cap)
-    rank = jnp.arange(slot_cap, dtype=jnp.int32) - starts[tile_of]
-    ok = jnp.logical_and(rank < wchunks[tile_of], slot_valid)
-    return jnp.where(ok, fbins_gids, num_seg)
+    swT = jnp.stack([starts, wchunks], axis=1)[tile_of].T   # (2, slot_cap)
+    k2 = jax.lax.broadcasted_iota(jnp.int32, (1, slot_cap), 1)
+    ok2 = jnp.logical_and((k2 - swT[0:1]) < swT[1:2],
+                          slot_valid.reshape(1, -1))
+    return jnp.where(ok2, fbins_gids.reshape(1, -1),
+                     num_seg).reshape(slot_cap)
 
 
 @partial(jax.custom_vjp, nondiff_argnums=(0, 1, 2, 3, 4))
@@ -295,21 +303,25 @@ def _core5_bwd(grid, chart_pad, interpret, s_cap, lean, res, g_out):
     num_seg = records_n.shape[0]
     seg = _bwd_segments(gids, slot_valid, starts, counts, ncontrib, s_cap,
                         num_seg)
-    d_records_n = jax.ops.segment_sum(d_rec_flat, seg,
+    # reduce only the real F_REC record fields (the wide rows are 128-lane
+    # padding for the HBM tiling); pad back on the small (N, ·) result
+    d_records_n = jax.ops.segment_sum(d_rec_flat[:, :rp.F_REC], seg,
                                       num_segments=num_seg + 1)[:num_seg]
+    d_records_n = jnp.pad(d_records_n,
+                          ((0, 0), (0, rp5.REC_W - rp.F_REC)))
 
-    slot_cap = gids.shape[0]
+    # d_ch_flat rows are already per-slot flattened (n_hb, cw_blk, cg)
+    # blocks (rasterize_pallas5.dch_row_lanes) — the segment reduction
+    # consumes them directly; the packed layout's slice/reshape/transpose
+    # chain this replaces cost 11.2 ms/step at 800² (round-3 trace)
     ch_blk = rp4._ch_blk_of(chart_pad[0])
     hsub, n_hb = rp4._chart_blocks(ch_blk)
     cg = rp4._cg_lanes(hsub)
-    pack_n = rp.CH3_PAD // cg
     cw_blk = -(-chart_pad[1] // 8) * 8
-    units = slot_cap * n_hb
-    d = d_ch_flat[..., :pack_n * cg]
-    d = d.reshape(units // pack_n, cw_blk, pack_n, cg)
-    d = d.transpose(0, 2, 1, 3).reshape(slot_cap, n_hb * cw_blk * cg)
+    dch_l, _ = rp5.dch_row_lanes(n_hb, cw_blk, cg)
     n_gauss = table.shape[0] // (n_hb * cw_blk)
-    d_g = jax.ops.segment_sum(d, seg, num_segments=num_seg + 1)[:n_gauss]
+    d_g = jax.ops.segment_sum(d_ch_flat, seg,
+                              num_segments=num_seg + 1)[:n_gauss, :dch_l]
     d_g = d_g.reshape(-1, cw_blk, cg)
     d_table = jnp.pad(d_g, ((0, 0), (0, 0), (0, table.shape[1] - cg)))
     d_table = d_table.reshape(table.shape)
@@ -338,18 +350,27 @@ def rasterize_pl5(
     px_offset=None,
     interpret: bool = False,
     lean: bool = False,
+    background=None,
+    table_dtype=None,
 ):
     """Flat-path Pallas render; same outputs as ``rasterize.rasterize``.
 
     ``lean=True`` (only valid when the reg/normal loss terms are
     statically zero) skips the depth-distortion and normal compute chains
-    in both kernels; the reg/normal output maps come back as zeros."""
+    in both kernels; the reg/normal output maps come back as zeros.
+
+    ``background`` (3,), when given, composes the final ``rgb`` IN TILE
+    SPACE so the training path untiles 3 channel maps instead of 7 — each
+    packed->(H,W) untile is a ~0.5 ms relayout copy at 800² and its
+    backward re-tiles the cotangent (round-3 trace, 12 copies ≈ 5.5 ms).
+    The separate img/texture_rgb/alpha maps remain available and DCE away
+    when unused."""
     chart_pad = (texture.shape[1], texture.shape[2])
     if (grid.tile_h * grid.tile_w) % 128 != 0:
         raise ValueError("pallas v5 needs tile_h*tile_w to be a multiple of "
                          "128 (pixels are packed onto 128 lanes)")
     pr = grid.tile_h * grid.tile_w // 128
-    packed = rp4.pack_charts_v4(texture)
+    packed = rp4.pack_charts_v4(texture, dtype=table_dtype)
     table = packed.reshape(-1, packed.shape[-1])
     records_n = _wide_records(geom, cam, texture_hw)
     if px_offset is None:
@@ -358,11 +379,14 @@ def rasterize_pl5(
                  fbins.gids, fbins.slot_valid, table, fbins.starts,
                  fbins.counts, rp._cam_info(cam, px_offset))
 
-    def ch(name):
+    def ch_t(name):
         i = rp.CH_NAMES.index(name)
-        return rp.untile_packed(out[:, i * pr:(i + 1) * pr, :], grid)
+        return out[:, i * pr:(i + 1) * pr, :]
 
-    return {
+    def ch(name):
+        return rp.untile_packed(ch_t(name), grid)
+
+    maps = {
         "img": jnp.stack([ch("img0"), ch("img1"), ch("img2")], axis=-1),
         "texture_rgb": jnp.stack([ch("tex0"), ch("tex1"), ch("tex2")],
                                  axis=-1),
@@ -371,6 +395,13 @@ def rasterize_pl5(
         "normal": jnp.stack([ch("n0"), ch("n1"), ch("n2")], axis=-1),
         "reg": ch("reg"),
     }
+    if background is not None:
+        one_m_a = 1.0 - ch_t("alpha")
+        rgb_t = [ch_t(f"img{i}") + ch_t(f"tex{i}") + one_m_a * background[i]
+                 for i in range(3)]
+        maps["rgb"] = jnp.clip(jnp.stack(
+            [rp.untile_packed(c, grid) for c in rgb_t], axis=-1), 0.0, 1.0)
+    return maps
 
 
 def rasterize_pl5_eval(
@@ -383,13 +414,14 @@ def rasterize_pl5_eval(
     s_cap: int,
     px_offset=None,
     interpret: bool = False,
+    table_dtype=None,
 ):
     """Flat-path forward-only render (no VJP, no residuals)."""
     chart_pad = (texture.shape[1], texture.shape[2])
     if (grid.tile_h * grid.tile_w) % 128 != 0:
         raise ValueError("pallas v5 needs tile_h*tile_w to be a multiple of "
                          "128 (pixels are packed onto 128 lanes)")
-    packed = rp4.pack_charts_v4(texture)
+    packed = rp4.pack_charts_v4(texture, dtype=table_dtype)
     table = packed.reshape(-1, packed.shape[-1])
     records_n = _wide_records(geom, cam, texture_hw)
     if px_offset is None:

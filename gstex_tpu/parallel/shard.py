@@ -189,14 +189,20 @@ def _band_loss(cfg, params, buffers, step, axis_name, ndev, bgrid, band_h,
     ssim_mean = jax.lax.psum(ssim_sum, axis_name) / (
         (height - _HALO) * (width - _HALO) * 3)
     simloss = 1.0 - ssim_mean
-    lam_n = model.schedule_value(cfg.lambda_normal, step)
-    lam_r = model.schedule_value(cfg.lambda_reg, step)
-    normal_part = jnp.sum(
-        (maps["alpha"] - jnp.sum(maps["normal"] * maps["normal"], -1))
-        * rowmask[:, None])
-    reg_part = jnp.sum(maps["reg"] * rowmask[:, None])
-    normal_loss = lam_n * jax.lax.psum(normal_part, axis_name) / n_px
-    reg_loss = lam_r * jax.lax.psum(reg_part, axis_name) / n_px
+    if model.lean_losses(cfg):
+        # statically-zero regularizers: skip entirely (XLA does not fold
+        # 0*x, so a traced zero keeps the normal/reg chains alive)
+        normal_loss = jnp.float32(0.0)
+        reg_loss = jnp.float32(0.0)
+    else:
+        lam_n = model.schedule_value(cfg.lambda_normal, step)
+        lam_r = model.schedule_value(cfg.lambda_reg, step)
+        normal_part = jnp.sum(
+            (maps["alpha"] - jnp.sum(maps["normal"] * maps["normal"], -1))
+            * rowmask[:, None])
+        reg_part = jnp.sum(maps["reg"] * rowmask[:, None])
+        normal_loss = lam_n * jax.lax.psum(normal_part, axis_name) / n_px
+        reg_loss = lam_r * jax.lax.psum(reg_part, axis_name) / n_px
     main = (1.0 - cfg.ssim_lambda) * l1 + cfg.ssim_lambda * simloss
     total = main + normal_loss + reg_loss
     mse_sum = jnp.sum(

@@ -23,12 +23,15 @@ seg = jax.random.randint(k2, (P,), 0, N, jnp.int32)  # tile-orderish: random
 
 
 def timeit(fn, *args, n=20):
+    sync = jax.jit(lambda o: jax.tree.reduce(
+        lambda a, b: a + b, jax.tree.map(lambda x: x.ravel()[0].astype(
+            jnp.float32), o)))
     out = fn(*args)
-    jax.tree.map(lambda x: np.asarray(x).ravel()[0], out)  # sync
+    float(sync(out))  # one-element transfer forces completion
     t0 = time.perf_counter()
     for _ in range(n):
         out = fn(*args)
-        jax.tree.map(lambda x: np.asarray(x).ravel()[0], out)
+        float(sync(out))
     dt = (time.perf_counter() - t0) / n * 1000
     return dt
 
