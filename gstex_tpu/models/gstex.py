@@ -412,7 +412,8 @@ def render(
         maps = rasterize_pl5_eval(prep.geom, texture, buffers.texture_hw,
                                   bins, cam, grid, s_cap=cfg.s_max,
                                   interpret="interpret" in cfg.renderer,
-                                  table_dtype=_table_dtype(cfg))
+                                  table_dtype=_table_dtype(cfg),
+                                  background=background)
     elif use_flat:
         from ..ops.rasterize_pallas_api import rasterize_pl5
 

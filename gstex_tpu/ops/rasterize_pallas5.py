@@ -708,6 +708,13 @@ def _bwd_kernel5(grid: TileGrid, s_cap: int, ch_blk, cw_blk, lean,
             jnp.int32, (cw_blk, cw_blk * cg), 1) // cg
             == jax.lax.broadcasted_iota(
                 jnp.int32, (cw_blk, cw_blk * cg), 0)).astype(jnp.float32)
+        # MXU bit 16: batch the CHUNK per-splat chart-grad dots
+        # (cw,P)@(P,cg) into ONE (K*cw,P)@(P,K*cg) dot and slice the
+        # block diagonal — 16 tiny-output MXU contractions become 32
+        # full-utilization passes (n_hb==1 path only)
+        batch_dcg = bool(MXU_LEVEL & 16) and n_hb == 1 \
+            and "dchart" not in _DEBUG_SKIP
+        wy_rows, m2_rows = [], []
         ks_fetch = [] if "fetch" in _DEBUG_SKIP else list(range(CHUNK))
         for k in ks_fetch:
             h_g = h_c[k:k + 1, :]
@@ -736,10 +743,15 @@ def _bwd_kernel5(grid: TileGrid, s_cap: int, ch_blk, cw_blk, lean,
                 m2 = jnp.concatenate(
                     [wxk * g_tex[ci] for ci in range(3)]
                     + [jnp.zeros((pad_rows, pix), jnp.float32)], axis=0)
-                dcg = jax.lax.dot_general(
-                    wy, m2, (((1,), (1,)), ((), ())),
-                    preferred_element_type=jnp.float32)           # (cw, cg)
-                row_units.append(_flatten_unit(dcg, cw_blk, cg, lm_flat))
+                if batch_dcg:
+                    wy_rows.append(wy)
+                    m2_rows.append(m2)
+                elif "dchart" not in _DEBUG_SKIP:
+                    dcg = jax.lax.dot_general(
+                        wy, m2, (((1,), (1,)), ((), ())),
+                        preferred_element_type=jnp.float32)       # (cw, cg)
+                    row_units.append(_flatten_unit(dcg, cw_blk, cg,
+                                                   lm_flat))
 
                 coeff = (g_tex[0] * tmp[0 * hsub:1 * hsub, :]
                          + g_tex[1] * tmp[1 * hsub:2 * hsub, :]
@@ -755,15 +767,35 @@ def _bwd_kernel5(grid: TileGrid, s_cap: int, ch_blk, cw_blk, lean,
                     prod = wx * tmp[ci * hsub:(ci + 1) * hsub, :]
                     texk[ci] = texk[ci] + _sum_rows(prod)
 
-            if dch_lp > dch_l:
-                row_units.append(jnp.zeros((1, dch_lp - dch_l), jnp.float32))
-            dch_buf[slot, k:k + 1, :] = jnp.concatenate(row_units, axis=1)
+            if "dchart" not in _DEBUG_SKIP and not batch_dcg:
+                if dch_lp > dch_l:
+                    row_units.append(jnp.zeros((1, dch_lp - dch_l),
+                                               jnp.float32))
+                dch_buf[slot, k:k + 1, :] = jnp.concatenate(row_units,
+                                                            axis=1)
 
             dx_s[k:k + 1, :] = wk * coeff_dx
             dy_s[k:k + 1, :] = _sum_rows(d_wy * dwy_dy)
             for ci in range(3):
                 tex_s[ci, k:k + 1, :] = texk[ci]
 
+        if batch_dcg and ks_fetch:
+            wy_all = jnp.concatenate(wy_rows, axis=0)      # (K*cw, P)
+            m2_all = jnp.concatenate(m2_rows, axis=0)      # (K*cg, P)
+            dcg_all = jax.lax.dot_general(
+                wy_all, m2_all, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32)        # (K*cw, K*cg)
+            rows_all = []
+            for k2 in range(CHUNK):
+                dcg = dcg_all[k2 * cw_blk:(k2 + 1) * cw_blk,
+                              k2 * cg:(k2 + 1) * cg]
+                rowk = _flatten_unit(dcg, cw_blk, cg, lm_flat)
+                if dch_lp > dch_l:
+                    rowk = jnp.concatenate(
+                        [rowk, jnp.zeros((1, dch_lp - dch_l),
+                                         jnp.float32)], axis=1)
+                rows_all.append(rowk)
+            dch_buf[slot] = jnp.concatenate(rows_all, axis=0)
         if "fetch" in _DEBUG_SKIP:
             zkp = jnp.zeros((CHUNK, pix), jnp.float32)
             tex_s[0], tex_s[1], tex_s[2] = zkp, zkp, zkp

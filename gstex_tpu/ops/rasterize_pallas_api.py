@@ -415,8 +415,12 @@ def rasterize_pl5_eval(
     px_offset=None,
     interpret: bool = False,
     table_dtype=None,
+    background=None,
 ):
-    """Flat-path forward-only render (no VJP, no residuals)."""
+    """Flat-path forward-only render (no VJP, no residuals).
+
+    ``background`` (3,) composes ``rgb`` in tile space (one untile
+    instead of seven — the eval/viewer fps path)."""
     chart_pad = (texture.shape[1], texture.shape[2])
     if (grid.tile_h * grid.tile_w) % 128 != 0:
         raise ValueError("pallas v5 needs tile_h*tile_w to be a multiple of "
@@ -428,19 +432,26 @@ def rasterize_pl5_eval(
         px_offset = jnp.zeros((2,), jnp.float32)
     inputs = _flat_inputs5(records_n, fbins, s_cap,
                            rp._cam_info(cam, px_offset))
-    maps = rp5.rasterize_pallas5_eval(grid, chart_pad, s_cap, inputs, table,
-                                      interpret=interpret)
+    tmaps = rp5.rasterize_pallas5_eval(grid, chart_pad, s_cap, inputs,
+                                       table, interpret=interpret)
 
     def ch(name):
-        return rp.untile_packed(maps[name], grid)
+        return rp.untile_packed(tmaps[name], grid)
 
-    return {
+    out = {
         "img": jnp.stack([ch("img0"), ch("img1"), ch("img2")], axis=-1),
         "texture_rgb": jnp.stack([ch("tex0"), ch("tex1"), ch("tex2")],
                                  axis=-1),
         "depth": ch("depth"),
         "alpha": ch("alpha"),
     }
+    if background is not None:
+        one_m_a = 1.0 - tmaps["alpha"]
+        rgb_t = [tmaps[f"img{i}"] + tmaps[f"tex{i}"]
+                 + one_m_a * background[i] for i in range(3)]
+        out["rgb"] = jnp.clip(jnp.stack(
+            [rp.untile_packed(c, grid) for c in rgb_t], axis=-1), 0.0, 1.0)
+    return out
 
 
 def rasterize_pl_eval(

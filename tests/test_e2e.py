@@ -238,8 +238,11 @@ def test_cli_parity_synthetic(tmp_path):
     assert report["psnr"] > 10.0
     assert report["heldout"]["held_out_views"] == [4, 9]
     assert report["heldout"]["train_views"] == 8
-    # GT provenance is the independent per-pixel oracle by default
-    assert report["gt_renderer"] == "oracle"
+    # GT provenance: XLA-tier views certified against the independent
+    # per-pixel oracle (full-oracle GT is O(HW*N)/view)
+    assert report["gt_renderer"] == "oracle_certified"
+    cert = report["heldout"]["gt_certification"]
+    assert cert["certifier"] == "oracle" and cert["pass"], cert
     assert (tmp_path / "parity.json").exists()
 
 

@@ -310,3 +310,25 @@ def test_eval_view_rotation(tmp_path):
     # explicit idx still honored
     tr.eval_one(99, idx=2)
     assert seen[-1] == 2
+
+
+def test_oracle_renderer_tier():
+    """renderer='oracle' (the parity-GT referee tier, round-4) matches the
+    XLA tier through the full model.render surface, and reports no
+    capacity metrics (it cannot overflow)."""
+    import dataclasses
+
+    params, buffers = make_model(n=48)
+    from gstex_tpu.data.synthetic import orbit_camera
+
+    cam = orbit_camera(40, 48, dist=3.0)
+    bg = jnp.asarray([0.2, 0.3, 0.4])
+    out_o = model.render(dataclasses.replace(CFG, renderer="oracle"),
+                         params, buffers, cam, jnp.int32(500), bg)
+    out_x = model.render(dataclasses.replace(CFG, renderer="xla"),
+                         params, buffers, cam, jnp.int32(500), bg)
+    np.testing.assert_allclose(np.asarray(out_o["rgb"]),
+                               np.asarray(out_x["rgb"]), atol=2e-6)
+    np.testing.assert_allclose(np.asarray(out_o["depth"]),
+                               np.asarray(out_x["depth"]), atol=2e-5)
+    assert int(out_o["overflow"]) == 0
