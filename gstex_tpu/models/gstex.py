@@ -417,10 +417,14 @@ def render(
     elif use_flat:
         from ..ops.rasterize_pallas_api import rasterize_pl5
 
+        import os as _os
+
+        fuse_rgb = _os.environ.get("GSTEX_FUSE_RGB", "1") != "0"
         maps = rasterize_pl5(prep.geom, texture, buffers.texture_hw, bins,
                              cam, grid, s_cap=cfg.s_max,
                              interpret="interpret" in cfg.renderer,
-                             lean=lean_losses(cfg), background=background,
+                             lean=lean_losses(cfg),
+                             background=background if fuse_rgb else None,
                              table_dtype=_table_dtype(cfg))
     elif cfg.renderer.startswith("pallas") and not extra and eval_only:
         from ..ops.rasterize_pallas_api import rasterize_pl_eval

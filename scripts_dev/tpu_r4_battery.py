@@ -11,12 +11,9 @@ import sys
 HERE = os.path.dirname(os.path.abspath(__file__))
 
 VARIANTS = [
-    ("f32", {}),
-    ("bf16-table", {"GSTEX_TABLE_DTYPE": "bf16"}),
-    ("dchart-skip", {"GSTEX_PALLAS_SKIP": "dchart"}),
-    ("batched-dcg", {"GSTEX_PALLAS_MXU": "23"}),
-    ("batched-dcg+bf16", {"GSTEX_PALLAS_MXU": "23",
-                          "GSTEX_TABLE_DTYPE": "bf16"}),
+    ("fused-rgb A", {}),
+    ("unfused-rgb", {"GSTEX_FUSE_RGB": "0"}),
+    ("fused-rgb B", {}),
 ]
 
 scenes = sys.argv[1:] or ["trained", "dense"]
