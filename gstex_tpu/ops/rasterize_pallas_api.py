@@ -296,32 +296,32 @@ def _core5_bwd(grid, chart_pad, interpret, s_cap, lean, res, g_out):
      out, ncontrib) = res
     pr = grid.tile_h * grid.tile_w // 128
     gmaps = g_out[:, : rpb.NG * pr, :]
-    d_rec_flat, d_ch_flat = rp5.rasterize_pallas5_bwd(
+    d_all_flat = rp5.rasterize_pallas5_bwd(
         grid, chart_pad, s_cap, inputs, table, out, ncontrib, gmaps,
         interpret=interpret, lean=lean)
 
     num_seg = records_n.shape[0]
     seg = _bwd_segments(gids, slot_valid, starts, counts, ncontrib, s_cap,
                         num_seg)
-    # reduce only the real F_REC record fields (the wide rows are 128-lane
-    # padding for the HBM tiling); pad back on the small (N, ·) result
-    d_records_n = jax.ops.segment_sum(d_rec_flat[:, :rp.F_REC], seg,
-                                      num_segments=num_seg + 1)[:num_seg]
-    d_records_n = jnp.pad(d_records_n,
+    # ONE segment_sum over the merged (slot_cap, REC_W + dch_lp) rows:
+    # lanes [0, F_REC) are the record grads, [REC_W, REC_W+dch_l) the
+    # flattened per-slot (n_hb, cw_blk, cg) chart-grad blocks
+    # (rasterize_pallas5.dch_row_lanes). The scatter's per-row fixed cost
+    # dominates its lane cost — two scatters over the same ids measured
+    # 2.2x the single merged one (round-4 probe, 403k rows).
+    d_all = jax.ops.segment_sum(d_all_flat, seg, num_segments=num_seg + 1)
+    # pad back on the small (N, ·) result: the wide record rows are
+    # 128-lane padding for the HBM tiling
+    d_records_n = jnp.pad(d_all[:num_seg, :rp.F_REC],
                           ((0, 0), (0, rp5.REC_W - rp.F_REC)))
 
-    # d_ch_flat rows are already per-slot flattened (n_hb, cw_blk, cg)
-    # blocks (rasterize_pallas5.dch_row_lanes) — the segment reduction
-    # consumes them directly; the packed layout's slice/reshape/transpose
-    # chain this replaces cost 11.2 ms/step at 800² (round-3 trace)
     ch_blk = rp4._ch_blk_of(chart_pad[0])
     hsub, n_hb = rp4._chart_blocks(ch_blk)
     cg = rp4._cg_lanes(hsub)
     cw_blk = -(-chart_pad[1] // 8) * 8
     dch_l, _ = rp5.dch_row_lanes(n_hb, cw_blk, cg)
     n_gauss = table.shape[0] // (n_hb * cw_blk)
-    d_g = jax.ops.segment_sum(d_ch_flat, seg,
-                              num_segments=num_seg + 1)[:n_gauss, :dch_l]
+    d_g = d_all[:n_gauss, rp5.REC_W:rp5.REC_W + dch_l]
     d_g = d_g.reshape(-1, cw_blk, cg)
     d_table = jnp.pad(d_g, ((0, 0), (0, 0), (0, table.shape[1] - cg)))
     d_table = d_table.reshape(table.shape)
