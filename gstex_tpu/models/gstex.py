@@ -17,6 +17,7 @@ import numpy as np
 
 from ..ops import sh as sh_ops
 from ..ops import ssim as ssim_ops
+from ..ops import ssim_fused
 from ..ops.binning import TileBins, TileGrid, build_tile_bins
 from ..ops.camera import Camera
 from ..ops.prepare import activate_scales, prepare_splats
@@ -87,6 +88,10 @@ class GStexConfig:
     # chart DMA traffic; PSNR impact measured on the held-out protocol
     # (DESIGN.md round-4 notes) before choosing the default.
     texel_dtype: str = "f32"              # f32 | bf16
+    # one-pass Pallas SSIM loss+grad (ops/ssim_fused.py; ~12 ms/step of
+    # XLA conv slices -> ~4.6 ms at 800², bitwise-equivalent grads).
+    # Falls back to the XLA convs when the image shape is unsupported.
+    fused_ssim: bool = True
 
     def grid(self, height: int, width: int) -> TileGrid:
         return TileGrid(height=height, width=width,
@@ -575,7 +580,12 @@ def loss_fn(cfg: GStexConfig, outputs: dict, gt_rgb: jax.Array, step,
         pred = pred * mask
         gt = gt * mask
     l1 = jnp.mean(jnp.abs(gt - pred))
-    simloss = 1.0 - ssim_ops.ssim(gt, pred)
+    if cfg.fused_ssim and ssim_fused.fused_ssim_supported(pred.shape):
+        # grad w.r.t. the render only — the GT side is constant
+        simloss = 1.0 - ssim_fused.fused_ssim(
+            pred, gt, 1.0, jax.default_backend() != "tpu")
+    else:
+        simloss = 1.0 - ssim_ops.ssim(gt, pred)
     if lean_losses(cfg):
         # statically-zero regularizers: skip the terms entirely so the
         # normal/reg map untiling and its backward DCE away (XLA does not

@@ -81,5 +81,8 @@ def measure(th, tw):
     print(f"tile {th}x{tw}: {dt:8.1f} ms/step", flush=True)
 
 
-for th, tw in ((32, 32), (16, 32), (16, 16), (8, 16)):
+import os as _os
+_sizes = _os.environ.get("SIZES", "32x32,16x32,16x16,8x16")
+for _s in _sizes.split(","):
+    th, tw = (int(v) for v in _s.split("x"))
     measure(th, tw)

@@ -53,3 +53,32 @@ def test_psnr():
     a = jnp.zeros((8, 8, 3))
     b = jnp.full((8, 8, 3), 0.1)
     np.testing.assert_allclose(float(psnr(a, b)), 20.0, atol=1e-4)
+
+
+def test_fused_ssim_matches_xla_value_and_grad():
+    """ops/ssim_fused.py (interpret mode) vs the XLA-conv ssim + autodiff:
+    the training loss swaps implementations, so value AND gradient must
+    agree to float roundoff."""
+    import jax
+
+    from gstex_tpu.ops.ssim_fused import fused_ssim, fused_ssim_supported
+
+    rng = np.random.default_rng(2)
+    for shape in ((120, 64, 3), (160, 40, 3)):
+        assert fused_ssim_supported(shape)
+        a = jnp.asarray(rng.uniform(0, 1, shape).astype(np.float32))
+        b = jnp.asarray(np.clip(a + rng.normal(0, 0.1, shape), 0,
+                                1).astype(np.float32))
+        v0, g0 = jax.value_and_grad(lambda x: ssim(x, b))(a)
+        v1, g1 = jax.value_and_grad(
+            lambda x: fused_ssim(x, b, 1.0, True))(a)
+        np.testing.assert_allclose(float(v0), float(v1), atol=1e-6)
+        np.testing.assert_allclose(np.asarray(g0), np.asarray(g1),
+                                   atol=1e-8)
+
+
+def test_fused_ssim_unsupported_shapes():
+    from gstex_tpu.ops.ssim_fused import fused_ssim_supported
+
+    assert not fused_ssim_supported((30, 64, 3))   # H < BH + 32
+    assert not fused_ssim_supported((41, 64, 3))   # no dividing band
