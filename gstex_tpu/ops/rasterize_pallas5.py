@@ -529,14 +529,21 @@ def _dch_rows(n_hb, pack_n, cw_blk):
     return CHUNK * n_hb // pack_n * cw_blk
 
 
-def dch_row_lanes(n_hb, cw_blk, cg):
-    """v5 d_charts layout: ONE row per slot, lanes = the flattened
-    (n_hb, cw_blk, cg) chart-grad block padded to a 128 multiple. The
-    segment reduction consumes rows directly — no post-kernel relayout
-    (the packed layout's slice/reshape/transpose chain cost 11.2 ms/step
-    at 800² in the round-3 trace)."""
-    L = n_hb * cw_blk * cg
-    return L, -(-L // 128) * 128
+DREC_L = 32      # packed grad-row record region: lanes [0, DREC_L)
+
+
+def dall_row_lanes(n_hb, cw_blk, hsub):
+    """Packed per-slot grad-row layout: lanes [0, DREC_L) hold the F_REC
+    record grads, [DREC_L, DREC_L + dch_l) the flattened (n_hb, cw_blk,
+    cg_g) chart-grad block with cg_g = 3*hsub REAL channel lanes (no
+    32-lane rounding — the grad block never feeds an MXU contraction, so
+    the table's _cg_lanes padding would only widen the segment scatter's
+    rows). One row per slot; the segment reduction consumes rows
+    directly. Returns (cg_g, dch_l, dall_lp)."""
+    cg_g = 3 * hsub
+    dch_l = n_hb * cw_blk * cg_g
+    dall_lp = -(-(DREC_L + dch_l) // 128) * 128
+    return cg_g, dch_l, dall_lp
 
 
 def _flatten_unit(dcg, cw_blk, cg, lane_mask):
@@ -555,8 +562,8 @@ def _bwd_kernel5(grid: TileGrid, s_cap: int, ch_blk, cw_blk, lean,
                  starts_ref,
                  counts_ref, cam_ref, records_ref, ids_ref, table_ref,
                  fwdout_ref, ncon_ref, gmaps_ref, dall_ref,
-                 ids_smem, tex_s, dx_s, dy_s, rec_win, chart_buf, drec_buf,
-                 dch_buf, rec_sem, chart_sem, drec_sem, dch_sem, ids_sem):
+                 ids_smem, tex_s, dx_s, dy_s, rec_win, chart_buf, dall_buf,
+                 rec_sem, chart_sem, dall_sem, ids_sem):
     t = pl.program_id(0)
     pix = grid.tile_h * grid.tile_w
     pr = pix // 128
@@ -574,7 +581,7 @@ def _bwd_kernel5(grid: TileGrid, s_cap: int, ch_blk, cw_blk, lean,
     hsub, n_hb = _chart_blocks(ch_blk)
     g_rows = n_hb * cw_blk
     cg = _cg_lanes(hsub)
-    dch_l, dch_lp = dch_row_lanes(n_hb, cw_blk, cg)
+    cg_g, dch_l, dall_lp = dall_row_lanes(n_hb, cw_blk, hsub)
 
     def fwd_ch(name):
         i = CH_NAMES.index(name)
@@ -612,26 +619,21 @@ def _bwd_kernel5(grid: TileGrid, s_cap: int, ch_blk, cw_blk, lean,
 
     ids_cp.wait()
 
-    # d_rec and d_chart rows land in ONE (slot_cap, REC_W + dch_lp) HBM
-    # buffer: lanes [0, REC_W) records, [REC_W, REC_W+dch_lp) charts. Both
-    # lane offsets are 128-tile aligned, and sharing the buffer lets the
-    # API reduce record+chart grads with a single segment_sum (the
-    # scatter's per-row fixed cost dominates its lane cost: two scatters
-    # measured 2.2x one merged 384-lane scatter, round-4 probe).
-    def drec_cp(c, slot):
+    # d_rec and d_chart rows land in ONE (slot_cap, dall_lp) HBM buffer
+    # (dall_row_lanes: record grads in lanes [0, 32), REAL cg_g=3*hsub
+    # chart-grad lanes after — 256 total for (8,8) charts vs 384 when the
+    # two streams lived in separate 128-padded buffers). One DMA per
+    # chunk, and the API reduces record+chart grads with a single
+    # segment_sum: the scatter's per-row fixed cost dominates its lane
+    # cost (two scatters measured 2.2x one merged scatter, round-4
+    # probe), and fewer lanes shrink both the scatter pass and the HBM
+    # round-trip.
+    def dall_cp(c, slot):
         return pltpu.make_async_copy(
-            drec_buf.at[slot],
+            dall_buf.at[slot],
             dall_ref.at[pl.ds(pl.multiple_of(astart + c * CHUNK, CHUNK),
-                              CHUNK), pl.ds(0, REC_W)],
-            drec_sem.at[slot])
-
-    def dch_cp(c, slot):
-        # one row per slot: the chunk block lands at its slot offset
-        return pltpu.make_async_copy(
-            dch_buf.at[slot],
-            dall_ref.at[pl.ds(pl.multiple_of(astart + c * CHUNK, CHUNK),
-                              CHUNK), pl.ds(REC_W, dch_buf.shape[-1])],
-            dch_sem.at[slot])
+                              CHUNK)],
+            dall_sem.at[slot])
 
     @pl.when(n_chunks > 0)
     def _():
@@ -660,8 +662,7 @@ def _bwd_kernel5(grid: TileGrid, s_cap: int, ch_blk, cw_blk, lean,
         if "dwrite" not in _DEBUG_SKIP:
             @pl.when(c + 2 <= n_chunks - 1)
             def _():
-                drec_cp(c + 2, slot).wait()
-                dch_cp(c + 2, slot).wait()
+                dall_cp(c + 2, slot).wait()
 
         _chunk_charts_wait(table_ref, ids_smem, woff, g_rows, chart_buf,
                            chart_sem, c, slot)
@@ -711,9 +712,9 @@ def _bwd_kernel5(grid: TileGrid, s_cap: int, ch_blk, cw_blk, lean,
         b_io = _row_iota((cw_blk, pix)).astype(jnp.float32)
         pad_rows = cg - 3 * hsub
         lm_flat = (jax.lax.broadcasted_iota(
-            jnp.int32, (cw_blk, cw_blk * cg), 1) // cg
+            jnp.int32, (cw_blk, cw_blk * cg_g), 1) // cg_g
             == jax.lax.broadcasted_iota(
-                jnp.int32, (cw_blk, cw_blk * cg), 0)).astype(jnp.float32)
+                jnp.int32, (cw_blk, cw_blk * cg_g), 0)).astype(jnp.float32)
         # MXU bit 16: batch the CHUNK per-splat chart-grad dots
         # (cw,P)@(P,cg) into ONE (K*cw,P)@(P,K*cg) dot and slice the
         # block diagonal — 16 tiny-output MXU contractions become 32
@@ -746,17 +747,21 @@ def _bwd_kernel5(grid: TileGrid, s_cap: int, ch_blk, cw_blk, lean,
                 tmp = _dot_cols(chart_kb, wy)                     # (cg, P)
 
                 wxk = wx * wk      # blend weight folded once, (hsub, P)
+                # real channel rows only (cg_g = 3*hsub) for the grad
+                # dot; the d_wy dot below needs the table's cg=32 lane
+                # layout, so it gets the zero-padded version
+                m2r = jnp.concatenate(
+                    [wxk * g_tex[ci] for ci in range(3)], axis=0)
                 m2 = jnp.concatenate(
-                    [wxk * g_tex[ci] for ci in range(3)]
-                    + [jnp.zeros((pad_rows, pix), jnp.float32)], axis=0)
+                    [m2r, jnp.zeros((pad_rows, pix), jnp.float32)], axis=0)
                 if batch_dcg:
                     wy_rows.append(wy)
-                    m2_rows.append(m2)
+                    m2_rows.append(m2r)
                 elif "dchart" not in _DEBUG_SKIP:
                     dcg = jax.lax.dot_general(
-                        wy, m2, (((1,), (1,)), ((), ())),
-                        preferred_element_type=jnp.float32)       # (cw, cg)
-                    row_units.append(_flatten_unit(dcg, cw_blk, cg,
+                        wy, m2r, (((1,), (1,)), ((), ())),
+                        preferred_element_type=jnp.float32)     # (cw, cg_g)
+                    row_units.append(_flatten_unit(dcg, cw_blk, cg_g,
                                                    lm_flat))
 
                 coeff = (g_tex[0] * tmp[0 * hsub:1 * hsub, :]
@@ -774,11 +779,14 @@ def _bwd_kernel5(grid: TileGrid, s_cap: int, ch_blk, cw_blk, lean,
                     texk[ci] = texk[ci] + _sum_rows(prod)
 
             if "dchart" not in _DEBUG_SKIP and not batch_dcg:
-                if dch_lp > dch_l:
-                    row_units.append(jnp.zeros((1, dch_lp - dch_l),
-                                               jnp.float32))
-                dch_buf[slot, k:k + 1, :] = jnp.concatenate(row_units,
-                                                            axis=1)
+                # packed row: [DREC_L zeros | chart-grad block | pad];
+                # the record grads are added into lanes [0, 128) at chunk
+                # granularity after this loop
+                parts = [jnp.zeros((1, DREC_L), jnp.float32)] + row_units
+                if dall_lp > DREC_L + dch_l:
+                    parts.append(jnp.zeros((1, dall_lp - DREC_L - dch_l),
+                                           jnp.float32))
+                dall_buf[slot, k:k + 1, :] = jnp.concatenate(parts, axis=1)
 
             dx_s[k:k + 1, :] = wk * coeff_dx
             dy_s[k:k + 1, :] = _sum_rows(d_wy * dwy_dy)
@@ -787,21 +795,21 @@ def _bwd_kernel5(grid: TileGrid, s_cap: int, ch_blk, cw_blk, lean,
 
         if batch_dcg and ks_fetch:
             wy_all = jnp.concatenate(wy_rows, axis=0)      # (K*cw, P)
-            m2_all = jnp.concatenate(m2_rows, axis=0)      # (K*cg, P)
+            m2_all = jnp.concatenate(m2_rows, axis=0)      # (K*cg_g, P)
             dcg_all = jax.lax.dot_general(
                 wy_all, m2_all, (((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32)        # (K*cw, K*cg)
+                preferred_element_type=jnp.float32)        # (K*cw, K*cg_g)
             rows_all = []
             for k2 in range(CHUNK):
                 dcg = dcg_all[k2 * cw_blk:(k2 + 1) * cw_blk,
-                              k2 * cg:(k2 + 1) * cg]
-                rowk = _flatten_unit(dcg, cw_blk, cg, lm_flat)
-                if dch_lp > dch_l:
-                    rowk = jnp.concatenate(
-                        [rowk, jnp.zeros((1, dch_lp - dch_l),
-                                         jnp.float32)], axis=1)
-                rows_all.append(rowk)
-            dch_buf[slot] = jnp.concatenate(rows_all, axis=0)
+                              k2 * cg_g:(k2 + 1) * cg_g]
+                rowk = _flatten_unit(dcg, cw_blk, cg_g, lm_flat)
+                parts = [jnp.zeros((1, DREC_L), jnp.float32), rowk]
+                if dall_lp > DREC_L + dch_l:
+                    parts.append(jnp.zeros((1, dall_lp - DREC_L - dch_l),
+                                           jnp.float32))
+                rows_all.append(jnp.concatenate(parts, axis=1))
+            dall_buf[slot] = jnp.concatenate(rows_all, axis=0)
         if "fetch" in _DEBUG_SKIP:
             zkp = jnp.zeros((CHUNK, pix), jnp.float32)
             tex_s[0], tex_s[1], tex_s[2] = zkp, zkp, zkp
@@ -935,10 +943,15 @@ def _bwd_kernel5(grid: TileGrid, s_cap: int, ch_blk, cw_blk, lean,
                     continue
                 grad_chunk = grad_chunk + jnp.where(
                     f_iota == f, _rep(lane_sum(v), REC_W), 0.0)
-        drec_buf[slot] = grad_chunk
+        if ks_fetch and "dchart" not in _DEBUG_SKIP:
+            # lanes [32, 128) of grad_chunk are structural zeros (26
+            # record fields), so the 128-wide tile-aligned add leaves the
+            # chart-grad lanes intact
+            dall_buf[slot, :, 0:128] = dall_buf[slot, :, 0:128] + grad_chunk
+        else:
+            dall_buf[slot, :, 0:128] = grad_chunk
         if "dwrite" not in _DEBUG_SKIP:
-            drec_cp(c, slot).start()
-            dch_cp(c, slot).start()
+            dall_cp(c, slot).start()
 
         t_start = t_end * s_inv[0:1, :]
         if lean:
@@ -963,13 +976,11 @@ def _bwd_kernel5(grid: TileGrid, s_cap: int, ch_blk, cw_blk, lean,
     if "dwrite" not in _DEBUG_SKIP:
         @pl.when(n_chunks >= 1)
         def _():
-            drec_cp(0, jnp.int32(0)).wait()
-            dch_cp(0, jnp.int32(0)).wait()
+            dall_cp(0, jnp.int32(0)).wait()
 
         @pl.when(n_chunks >= 2)
         def _():
-            drec_cp(1, jnp.int32(1)).wait()
-            dch_cp(1, jnp.int32(1)).wait()
+            dall_cp(1, jnp.int32(1)).wait()
 
 
 def rasterize_pallas5_bwd(grid: TileGrid, chart_pad, s_cap, inputs, table,
@@ -983,8 +994,7 @@ def rasterize_pallas5_bwd(grid: TileGrid, chart_pad, s_cap, inputs, table,
     cw_blk = -(-chart_pad[1] // 8) * 8
     hsub, n_hb = _chart_blocks(ch_blk)
     g_rows = n_hb * cw_blk
-    cg = _cg_lanes(hsub)
-    dch_l, dch_lp = dch_row_lanes(n_hb, cw_blk, cg)
+    _, _, dall_lp = dall_row_lanes(n_hb, cw_blk, hsub)
     pix = grid.tile_h * grid.tile_w
     pr = pix // 128
     kernel = functools.partial(_bwd_kernel5, grid, s_cap, ch_blk, cw_blk,
@@ -1010,10 +1020,8 @@ def rasterize_pallas5_bwd(grid: TileGrid, chart_pad, s_cap, inputs, table,
             pltpu.VMEM((CHUNK, pix), jnp.float32),
             pltpu.VMEM((s_cap, REC_W), jnp.float32),
             pltpu.VMEM((2, CHUNK * g_rows, CH3_PAD), table.dtype),
-            pltpu.VMEM((2, CHUNK, REC_W), jnp.float32),
-            pltpu.VMEM((2, CHUNK, dch_lp), jnp.float32),
+            pltpu.VMEM((2, CHUNK, dall_lp), jnp.float32),
             pltpu.SemaphoreType.DMA,
-            pltpu.SemaphoreType.DMA((2,)),
             pltpu.SemaphoreType.DMA((2,)),
             pltpu.SemaphoreType.DMA((2,)),
             pltpu.SemaphoreType.DMA,
@@ -1023,7 +1031,7 @@ def rasterize_pallas5_bwd(grid: TileGrid, chart_pad, s_cap, inputs, table,
         kernel,
         grid_spec=grid_spec,
         out_shape=[
-            jax.ShapeDtypeStruct((slot_cap, REC_W + dch_lp), jnp.float32),
+            jax.ShapeDtypeStruct((slot_cap, dall_lp), jnp.float32),
         ],
         interpret=interpret,
         compiler_params=pltpu.CompilerParams(

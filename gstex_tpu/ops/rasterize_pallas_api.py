@@ -204,9 +204,8 @@ def flat_dcharts_bytes(chart_pad, pair_cap: int, num_tiles: int) -> int:
     slot_cap = flat_slot_cap(pair_cap, num_tiles)
     ch_blk = rp4._ch_blk_of(chart_pad[0])
     hsub, n_hb = rp4._chart_blocks(ch_blk)
-    cg = rp4._cg_lanes(hsub)
     cw_blk = -(-chart_pad[1] // 8) * 8
-    return slot_cap * rp5.dch_row_lanes(n_hb, cw_blk, cg)[1] * 4
+    return slot_cap * rp5.dall_row_lanes(n_hb, cw_blk, hsub)[2] * 4
 
 
 def use_flat_path(renderer: str, chart_pad, pair_cap: int,
@@ -303,12 +302,14 @@ def _core5_bwd(grid, chart_pad, interpret, s_cap, lean, res, g_out):
     num_seg = records_n.shape[0]
     seg = _bwd_segments(gids, slot_valid, starts, counts, ncontrib, s_cap,
                         num_seg)
-    # ONE segment_sum over the merged (slot_cap, REC_W + dch_lp) rows:
-    # lanes [0, F_REC) are the record grads, [REC_W, REC_W+dch_l) the
-    # flattened per-slot (n_hb, cw_blk, cg) chart-grad blocks
-    # (rasterize_pallas5.dch_row_lanes). The scatter's per-row fixed cost
-    # dominates its lane cost — two scatters over the same ids measured
-    # 2.2x the single merged one (round-4 probe, 403k rows).
+    # ONE segment_sum over the packed (slot_cap, dall_lp) rows: lanes
+    # [0, F_REC) are the record grads, [DREC_L, DREC_L+dch_l) the
+    # flattened per-slot (n_hb, cw_blk, cg_g) chart-grad blocks
+    # (rasterize_pallas5.dall_row_lanes — 256 lanes for (8,8) charts vs
+    # the 384 of separate 128-padded streams). The scatter's per-row
+    # fixed cost dominates its lane cost — two scatters over the same
+    # ids measured 2.2x the single merged one (round-4 probe, 403k
+    # rows) — and fewer lanes shrink the per-row vector work too.
     d_all = jax.ops.segment_sum(d_all_flat, seg, num_segments=num_seg + 1)
     # pad back on the small (N, ·) result: the wide record rows are
     # 128-lane padding for the HBM tiling
@@ -317,13 +318,12 @@ def _core5_bwd(grid, chart_pad, interpret, s_cap, lean, res, g_out):
 
     ch_blk = rp4._ch_blk_of(chart_pad[0])
     hsub, n_hb = rp4._chart_blocks(ch_blk)
-    cg = rp4._cg_lanes(hsub)
     cw_blk = -(-chart_pad[1] // 8) * 8
-    dch_l, _ = rp5.dch_row_lanes(n_hb, cw_blk, cg)
+    cg_g, dch_l, _ = rp5.dall_row_lanes(n_hb, cw_blk, hsub)
     n_gauss = table.shape[0] // (n_hb * cw_blk)
-    d_g = d_all[:n_gauss, rp5.REC_W:rp5.REC_W + dch_l]
-    d_g = d_g.reshape(-1, cw_blk, cg)
-    d_table = jnp.pad(d_g, ((0, 0), (0, 0), (0, table.shape[1] - cg)))
+    d_g = d_all[:n_gauss, rp5.DREC_L:rp5.DREC_L + dch_l]
+    d_g = d_g.reshape(-1, cw_blk, cg_g)
+    d_table = jnp.pad(d_g, ((0, 0), (0, 0), (0, table.shape[1] - cg_g)))
     d_table = d_table.reshape(table.shape)
 
     f0 = lambda x: np.zeros(x.shape, jax.dtypes.float0)
