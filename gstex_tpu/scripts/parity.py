@@ -136,15 +136,17 @@ def synthetic_heldout(renderer: str, res: int, iters: int, out_dir: Path,
     cams = [orbit_camera(res, res, dist=4.0, azimuth=a, elevation=0.35)
             for a in azis]
 
-    def make_render(rname):
+    def make_render(rname, r_res=res):
         cfg_r = dataclasses.replace(cfg, renderer=rname)
+        rs = r_res / res
 
         @jax.jit
         def render_gt(cam_tuple):
             from ..ops.camera import Camera
 
-            cam = Camera(fx=cam_tuple[0], fy=cam_tuple[1], cx=cam_tuple[2],
-                         cy=cam_tuple[3], height=res, width=res,
+            cam = Camera(fx=cam_tuple[0] * rs, fy=cam_tuple[1] * rs,
+                         cx=cam_tuple[2] * rs, cy=cam_tuple[3] * rs,
+                         height=r_res, width=r_res,
                          c2w=cam_tuple[4])
             out = model.render(cfg_r, params_gt, buffers_gt, cam,
                                jnp.int32(10000), jnp.zeros(3),
@@ -172,15 +174,26 @@ def synthetic_heldout(renderer: str, res: int, iters: int, out_dir: Path,
     print(f"[parity] {len(views)} GT views via {gen} renderer: "
           f"{time.time() - t_gt:.1f}s")
     if certifier:
+        # the oracle's O(HW·N) scan cannot run at full res on-chip
+        # (800²·20k ≈ 0.5 PB of carry traffic faults the TPU worker);
+        # certification is resolution-independent — a systematic
+        # generator bug (falloff, SH convention, AA, uv) corrupts ANY
+        # resolution — so both tiers render the cert views at cert_res
+        # and are compared there
+        cert_res = min(res, 256)
         t_c = time.time()
-        render_cert = make_render(certifier)
+        render_cert = make_render(certifier, cert_res)
+        render_gen_c = make_render(gen, cert_res)
         diffs = []
         for i in np.linspace(0, len(cams) - 1, n_cert).astype(int):
             c = cams[int(i)]
-            ref = np.asarray(render_cert((c.fx, c.fy, c.cx, c.cy, c.c2w)))
-            diffs.append(float(np.abs(ref - views[int(i)]).max()))
+            tup = (c.fx, c.fy, c.cx, c.cy, c.c2w)
+            ref = np.asarray(render_cert(tup))
+            got = np.asarray(render_gen_c(tup))
+            diffs.append(float(np.abs(ref - got).max()))
         gt_certification = {
             "certifier": certifier, "views_checked": n_cert,
+            "cert_res": cert_res,
             "max_abs_diff": max(diffs),
             "pass": max(diffs) < 1e-3,
             "seconds": time.time() - t_c,

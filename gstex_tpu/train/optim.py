@@ -14,8 +14,11 @@ LRs and schedules (``configs/gstex_configs.py:64-101``):
 | rotation      | quats           | 1e-3                   | — |
 | texture_dc    | texture         | 1e-3                   | — |
 
-Adam with eps=1e-15 (torch betas 0.9/0.999). The reference's camera_opt group
-is inert (SURVEY.md §2.2) and intentionally absent.
+Adam with eps=1e-15 (torch betas 0.9/0.999). The camera_opt group (Adam
+1e-3 -> 5e-5 over 30k steps, 100-step gradient accumulation,
+``configs/method_configs.py:52,97-101``) lives in its own transform —
+``make_pose_optimizer`` — since pose deltas are per-DATASET state, not
+model params; the reference ships it with mode "off" and so do we.
 """
 
 from __future__ import annotations
@@ -129,6 +132,16 @@ def make_optimizer(cfg: OptimConfig) -> optax.GradientTransformation:
         transforms[group] = optax.MultiSteps(transforms[group],
                                              every_k_schedule=every)
     return optax.multi_transform(transforms, GROUP_OF_LEAF)
+
+
+def make_pose_optimizer(adam_eps: float = 1e-15
+                        ) -> optax.GradientTransformation:
+    """camera_opt group: Adam(1e-3, eps=1e-15) with exponential decay to
+    5e-5 over 30000 steps and 100-step gradient accumulation
+    (``configs/method_configs.py:52,97-101``)."""
+    tx = optax.adam(exp_decay_schedule(1e-3, 5e-5, 30000), b1=0.9,
+                    b2=0.999, eps=adam_eps)
+    return optax.MultiSteps(tx, every_k_schedule=100)
 
 
 def reset_texture_moments(opt_state: Any) -> Any:

@@ -112,6 +112,75 @@ def make_train_scan(cfg: model.GStexConfig, tx: optax.GradientTransformation,
     return jax.jit(scan_fn, donate_argnums=(0,), static_argnames=())
 
 
+class PoseState(NamedTuple):
+    """Camera-optimizer state: (num_cameras, 6) tangent deltas + their
+    optax state (``camera_optimizers.py:106-111``)."""
+
+    delta: jax.Array
+    opt_state: optax.OptState
+
+
+def init_pose_state(num_cameras: int
+                    ) -> tuple[PoseState, optax.GradientTransformation]:
+    pose_tx = optim.make_pose_optimizer()
+    delta = jnp.zeros((num_cameras, 6), jnp.float32)
+    return PoseState(delta, pose_tx.init(delta)), pose_tx
+
+
+def make_train_step_camopt(cfg: model.GStexConfig,
+                           tx: optax.GradientTransformation,
+                           pose_tx: optax.GradientTransformation,
+                           mode: str):
+    """Train step with joint pose optimization: the exp-mapped per-camera
+    correction right-multiplies c2w inside the differentiated render, so
+    pose gradients ride the model's backward pass; the camera_opt
+    regularizer joins the loss (``camera_optimizers.py:113-170``)."""
+    import dataclasses as _dc
+
+    from ..ops import pose_opt
+
+    def step_fn(state: TrainState, pose: PoseState, cam: Camera,
+                cam_idx: jax.Array, image: jax.Array,
+                mask: jax.Array | None = None):
+        key, bg_key = jax.random.split(state.key)
+        background = model.sample_background(cfg, bg_key)
+        gt = model.composite_gt(image, background)
+
+        def loss_of(params, delta):
+            adj = pose_opt.exp_map(mode, delta[cam_idx])
+            cam2 = _dc.replace(cam,
+                               c2w=pose_opt.apply_correction(cam.c2w, adj))
+            outputs = model.render(cfg, params, state.buffers, cam2,
+                                   state.step, background)
+            total, parts = model.loss_fn(cfg, outputs, gt, state.step,
+                                         mask=mask)
+            reg = pose_opt.regularizer(delta)
+            return total + reg, (parts, outputs, reg)
+
+        (loss, (parts, outputs, reg)), (grads, pose_grads) = \
+            jax.value_and_grad(loss_of, argnums=(0, 1), has_aux=True)(
+                state.params, pose.delta)
+        updates, opt_state = tx.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        p_updates, p_opt_state = pose_tx.update(pose_grads, pose.opt_state,
+                                                pose.delta)
+        delta = optax.apply_updates(pose.delta, p_updates)
+        metrics = dict(parts)
+        metrics["loss"] = loss
+        metrics["camera_opt_regularizer"] = reg
+        metrics.update(pose_opt.metrics(delta))
+        metrics["overflow"] = outputs["overflow"]
+        metrics["total_pairs"] = outputs["total_pairs"]
+        metrics["max_tile_count"] = outputs["max_tile_count"]
+        metrics["psnr"] = 10.0 * -jnp.log10(
+            jnp.maximum(jnp.mean((outputs["rgb"] - gt) ** 2), 1e-12))
+        new_state = TrainState(params, state.buffers, opt_state,
+                               state.step + 1, key)
+        return new_state, PoseState(delta, p_opt_state), metrics
+
+    return jax.jit(step_fn, donate_argnums=(0, 1))
+
+
 def make_rechart_step(cfg: model.GStexConfig):
     """Returns jitted re-chart: resize charts + zero texture Adam moments
     (``retexture_after``, ``gstex.py:890-895``)."""

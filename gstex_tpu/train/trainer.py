@@ -89,6 +89,13 @@ class TrainerConfig:
     # reference's --vis surface, ``utils/writer.py:304-534``); JSONL and
     # console are always on. Unavailable sinks no-op with a notice.
     vis: str = "tensorboard"
+    # camera pose optimization: off | SO3xR3 | SE3. A learnable
+    # (num_train_cameras, 6) tangent array whose exp map right-multiplies
+    # each training c2w, optimized jointly under the camera_opt group
+    # (``cameras/camera_optimizers.py:86-190``; the reference ships GStex
+    # with it off — ``CameraOptimizerConfig.mode`` default). Single-device
+    # per-step path only.
+    camera_opt: str = "off"
 
 
 class Trainer:
@@ -146,6 +153,25 @@ class Trainer:
         self._scan_steps: dict = {}
         self._eval_counter = 0
         self.viewer = None
+        self.pose_state = None
+        if tcfg.camera_opt != "off":
+            from ..ops import pose_opt
+
+            if tcfg.camera_opt not in pose_opt.MODES:
+                raise ValueError(f"camera_opt={tcfg.camera_opt!r} (expected "
+                                 f"one of {pose_opt.MODES})")
+            if self.mesh is not None:
+                raise ValueError("camera_opt requires the single-device "
+                                 "path (num_devices <= 1)")
+            self.pose_state, self.pose_tx = step_mod.init_pose_state(
+                len(train_cache))
+            self._camopt_step = step_mod.make_train_step_camopt(
+                mcfg, self.tx, self.pose_tx, tcfg.camera_opt)
+            if tcfg.load_checkpoint:
+                aux = ckpt_io.latest_aux(
+                    Path(tcfg.load_checkpoint).parent, "pose")
+                if aux is not None:
+                    self.pose_state = ckpt_io.load_aux(aux, self.pose_state)
 
     def _step_for(self, cam):
         if self.mesh is None:
@@ -206,6 +232,7 @@ class Trainer:
         tcfg, mcfg = self.tcfg, self.mcfg
         n = tcfg.steps_per_sync
         if (n <= 1 or self.viewer is not None
+                or self.pose_state is not None
                 or model.downscale_factor(mcfg, step) > 1):
             return 1
         cadences = [c for c in (mcfg.build_chart_every, tcfg.log_every,
@@ -251,7 +278,12 @@ class Trainer:
         lock = (self.viewer.train_lock if self.viewer is not None
                 else _NULL_LOCK)
         with lock:
-            self.state, metrics = self._step_for(cam)(self.state, cam, gt, m)
+            if self.pose_state is not None:
+                self.state, self.pose_state, metrics = self._camopt_step(
+                    self.state, self.pose_state, cam, jnp.int32(idx), gt, m)
+            else:
+                self.state, metrics = self._step_for(cam)(self.state, cam,
+                                                          gt, m)
         return cam, metrics
 
     def train(self):
@@ -488,4 +520,11 @@ class Trainer:
         path = ckpt_io.save_checkpoint(
             self.out_dir / "checkpoints", self.state,
             keep_only_latest=self.tcfg.save_only_latest_checkpoint)
+        if self.pose_state is not None:
+            # pose deltas ride a sibling aux file so the main checkpoint
+            # format (and every eval/export reload path) stays unchanged
+            ckpt_io.save_aux(
+                self.out_dir / "checkpoints", "pose", self.pose_state,
+                int(self.state.step),
+                keep_only_latest=self.tcfg.save_only_latest_checkpoint)
         print(f"saved {path}")

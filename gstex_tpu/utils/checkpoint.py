@@ -63,3 +63,30 @@ def load_checkpoint(path, template_state):
         else:
             cast.append(np.asarray(l, dtype=t.dtype).reshape(t.shape))
     return jax.tree.unflatten(treedef, cast)
+
+
+def save_aux(ckpt_dir, tag: str, tree, step: int,
+             keep_only_latest: bool = True) -> Path:
+    """Save a sidecar pytree (e.g. camera_opt pose deltas) next to the
+    main checkpoint without changing its format."""
+    ckpt_dir = Path(ckpt_dir)
+    ckpt_dir.mkdir(parents=True, exist_ok=True)
+    leaves = [_unkey(l) for l in jax.tree.leaves(tree)]
+    path = ckpt_dir / f"{tag}-{step:09d}.npz"
+    np.savez(path, n=len(leaves),
+             **{f"leaf_{i}": np.asarray(l) for i, l in enumerate(leaves)})
+    if keep_only_latest:
+        for old in ckpt_dir.glob(f"{tag}-*.npz"):
+            if old != path:
+                old.unlink()
+    return path
+
+
+def latest_aux(ckpt_dir, tag: str) -> Path | None:
+    files = sorted(Path(ckpt_dir).glob(f"{tag}-*.npz"))
+    return files[-1] if files else None
+
+
+def load_aux(path, template):
+    """Restore a sidecar pytree saved with ``save_aux``."""
+    return load_checkpoint(path, template)

@@ -1,0 +1,140 @@
+"""Camera optimizer: exp maps vs an independent numpy reference, and the
+trainer's joint-pose-optimization path (reference
+``cameras/camera_optimizers.py`` / ``cameras/lie_groups.py``)."""
+
+import numpy as np
+
+import jax.numpy as jnp
+
+from gstex_tpu.ops.pose_opt import (apply_correction, exp_map_SE3,
+                                    exp_map_SO3xR3, regularizer)
+
+
+def rodrigues_np(w):
+    theta = np.linalg.norm(w)
+    if theta < 1e-12:
+        return np.eye(3)
+    k = np.array([[0, -w[2], w[1]], [w[2], 0, -w[0]], [-w[1], w[0], 0]])
+    return (np.eye(3) + np.sin(theta) / theta * k
+            + (1 - np.cos(theta)) / theta ** 2 * (k @ k))
+
+
+def se3_np(t, w):
+    theta = np.linalg.norm(w)
+    r = rodrigues_np(w)
+    if theta < 1e-12:
+        return r, t
+    k = np.array([[0, -w[2], w[1]], [w[2], 0, -w[0]], [-w[1], w[0], 0]])
+    v = (np.eye(3) + (1 - np.cos(theta)) / theta ** 2 * k
+         + (theta - np.sin(theta)) / theta ** 3 * (k @ k))
+    return r, v @ t
+
+
+def test_so3xr3_matches_numpy():
+    rng = np.random.default_rng(0)
+    tangent = rng.normal(0, 0.5, (8, 6)).astype(np.float32)
+    out = np.asarray(exp_map_SO3xR3(jnp.asarray(tangent)))
+    for i in range(8):
+        np.testing.assert_allclose(out[i, :, :3],
+                                   rodrigues_np(tangent[i, 3:]), atol=1e-5)
+        np.testing.assert_allclose(out[i, :, 3], tangent[i, :3], atol=1e-6)
+
+
+def test_se3_matches_numpy():
+    rng = np.random.default_rng(1)
+    tangent = rng.normal(0, 0.5, (8, 6)).astype(np.float32)
+    out = np.asarray(exp_map_SE3(jnp.asarray(tangent)))
+    for i in range(8):
+        r, t = se3_np(tangent[i, :3], tangent[i, 3:])
+        np.testing.assert_allclose(out[i, :, :3], r, atol=1e-5)
+        np.testing.assert_allclose(out[i, :, 3], t, atol=1e-5)
+
+
+def test_se3_taylor_branch():
+    """Small-angle branch (theta < 1e-2) is continuous with the exact
+    formulas."""
+    t = np.array([0.3, -0.2, 0.1], np.float64)
+    for theta in (5e-3, 2e-2):
+        w = np.array([0.6, 0.8, 0.0]) * theta
+        tangent = jnp.asarray(np.concatenate([t, w])[None].astype(np.float32))
+        out = np.asarray(exp_map_SE3(tangent))[0]
+        r, tt = se3_np(t, w)
+        np.testing.assert_allclose(out[:, :3], r, atol=1e-6)
+        np.testing.assert_allclose(out[:, 3], tt, atol=1e-6)
+
+
+def test_zero_tangent_is_identity():
+    adj = np.asarray(exp_map_SO3xR3(jnp.zeros((1, 6))))[0]
+    np.testing.assert_allclose(adj, np.eye(4)[:3], atol=1e-7)
+    adj = np.asarray(exp_map_SE3(jnp.zeros((1, 6))))[0]
+    np.testing.assert_allclose(adj, np.eye(4)[:3], atol=1e-7)
+
+    c2w = jnp.asarray(np.random.default_rng(2).normal(0, 1, (3, 4))
+                      .astype(np.float32))
+    out = apply_correction(c2w, jnp.asarray(np.eye(4)[:3],
+                                            dtype=jnp.float32))
+    np.testing.assert_allclose(np.asarray(out), np.asarray(c2w), atol=1e-6)
+
+
+def test_regularizer_weights():
+    delta = jnp.zeros((4, 6)).at[0, 0].set(2.0).at[1, 4].set(4.0)
+    # mean ||t|| = 2/4, mean ||w|| = 4/4 -> 1e-2*0.5 + 1e-3*1.0
+    np.testing.assert_allclose(float(regularizer(delta)), 6e-3, rtol=1e-5)
+
+
+def test_trainer_camopt_step(tmp_path):
+    """camera_opt=SO3xR3: pose deltas receive gradients through the
+    render, metrics carry the camera_opt entries, and the pose aux file
+    rides checkpoint save/resume."""
+    import jax
+
+    from gstex_tpu.data.manager import FullImageCache
+    from gstex_tpu.data.synthetic import orbit_camera, random_scene
+    from gstex_tpu.models import gstex as model
+    from gstex_tpu.train import optim
+    from gstex_tpu.train.trainer import Trainer, TrainerConfig
+
+    cfg = model.GStexConfig(chart_pad=(4, 4), tile_h=8, tile_w=8,
+                            pair_cap=1 << 12, s_max=64, pixel_num=256,
+                            background_color="black", renderer="xla",
+                            build_chart_every=0)
+    scene = random_scene(jax.random.key(0), 64, chart_pad=cfg.chart_pad)
+    params, buffers = model.init_params(
+        cfg, scene["means"], scene["log_scales"], scene["quats"],
+        scene["opacity_logits"], scene["features_dc"],
+        scene["features_rest"])
+    h = w = 32
+    cams = [orbit_camera(h, w, dist=4.0, azimuth=0.3 * i) for i in range(3)]
+    imgs = [np.full((h, w, 3), 128, np.uint8) for _ in cams]
+    cache = FullImageCache(cameras=cams, images=imgs)
+    tcfg = TrainerConfig(max_num_iterations=3, steps_per_save=0,
+                         steps_per_eval_image=0, log_every=0,
+                         output_dir=str(tmp_path), camera_opt="SO3xR3",
+                         vis="")
+    tr = Trainer(tcfg, cfg, optim.OptimConfig(max_steps=3), params,
+                 buffers, cache)
+    assert tr.pose_state is not None
+    cam, metrics = tr._run_one(0, 0, cams[0], imgs[0], None)
+    assert "camera_opt_regularizer" in metrics
+    assert "camera_opt_translation" in metrics
+    # gradients flowed: the 100-step accumulator (reference
+    # gradient_accumulation_steps camera_opt=100) holds a nonzero grad;
+    # the delta itself only moves every 100th step
+    acc = tr.pose_state.opt_state.acc_grads
+    assert float(jnp.max(jnp.abs(acc))) > 0
+    assert float(jnp.max(jnp.abs(tr.pose_state.delta))) == 0
+
+    tr.save()
+    assert list((tmp_path / "checkpoints").glob("pose-*.npz"))
+
+    # resume restores the deltas
+    ckpts = list((tmp_path / "checkpoints").glob("step-*.ckpt.npz"))
+    tcfg2 = TrainerConfig(max_num_iterations=3, steps_per_save=0,
+                          steps_per_eval_image=0, log_every=0,
+                          output_dir=str(tmp_path),
+                          load_checkpoint=str(ckpts[0]),
+                          camera_opt="SO3xR3", vis="")
+    tr2 = Trainer(tcfg2, cfg, optim.OptimConfig(max_steps=3), params,
+                  buffers, cache)
+    np.testing.assert_allclose(np.asarray(tr2.pose_state.delta),
+                               np.asarray(tr.pose_state.delta))
