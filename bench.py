@@ -19,12 +19,21 @@ are measured with overflow=0 at recorded capacities.
 """
 
 import json
+import sys
 import time
 
 import jax
 import jax.numpy as jnp
 
 CUDA_NOMINAL_MPIX_S = 8.0
+
+# --scene-npz PATH: additionally bench on a REAL trained parameter dump
+# (gstex-npz format; e.g. parity_out_full/trained_params.npz) — trained
+# statistics from an actual optimization run rather than the synthetic
+# generators (VERDICT r3 weak #7). Reported as the extra scene "ckpt".
+SCENE_NPZ = None
+if "--scene-npz" in sys.argv:
+    SCENE_NPZ = sys.argv[sys.argv.index("--scene-npz") + 1]
 
 
 def main():
@@ -50,24 +59,12 @@ def main():
 
         cfg0 = model.GStexConfig(chart_pad=(8, 8), tile_h=32, tile_w=32,
                                  pixel_num=1e6, background_color="black")
+        params, buffers = scene_params(cfg0, scene_kind)
 
         import functools
 
-        @functools.partial(jax.jit, static_argnums=(0, 1))
-        def demand(pair_cap, s_cap):
-            if scene_kind == "trained":
-                from gstex_tpu.data.synthetic import surface_scene
-
-                scene = surface_scene(jax.random.key(0), N,
-                                      chart_pad=cfg0.chart_pad)
-            else:
-                scene = random_scene(jax.random.key(0), N,
-                                     chart_pad=cfg0.chart_pad, spread=1.2,
-                                     scale_lo=-4.5, scale_hi=-2.5)
-            params, buffers = model.init_params(
-                cfg0, scene["means"], scene["log_scales"], scene["quats"],
-                scene["opacity_logits"], scene["features_dc"],
-                scene["features_rest"])
+        @functools.partial(jax.jit, static_argnums=(2, 3))
+        def demand(params, buffers, pair_cap, s_cap):
             grid = cfg0.grid(H, W)
             prep = prepare_splats(
                 params.means, params.log_scales, params.quats,
@@ -84,7 +81,7 @@ def main():
 
         pair_cap, s_cap = 1 << 20, 4096
         for _ in range(3):
-            tp, mtc, ovf = demand(pair_cap, s_cap)
+            tp, mtc, ovf = demand(params, buffers, pair_cap, s_cap)
             if int(ovf) == 0:
                 return settle_caps(int(tp), int(mtc))
             # denser config than the probe caps: double and retry (the
@@ -94,12 +91,11 @@ def main():
             pair_cap, s_cap = pair_cap * 2, s_cap * 2
         return settle_caps(int(tp), int(mtc))
 
-    def build(renderer, scene_kind="dense"):
-        pair_cap, s_max = measure_demand(scene_kind)
-        cfg = model.GStexConfig(chart_pad=(8, 8), tile_h=32, tile_w=32,
-                                pair_cap=pair_cap, s_max=s_max,
-                                pixel_num=1e6,
-                                background_color="black", renderer=renderer)
+    def scene_params(cfg, scene_kind):
+        if scene_kind == "ckpt":
+            from gstex_tpu.models.init_io import params_from_export_npz
+
+            return params_from_export_npz(cfg, SCENE_NPZ)
 
         @jax.jit
         def init():
@@ -120,7 +116,15 @@ def main():
                 scene["opacity_logits"], scene["features_dc"],
                 scene["features_rest"])
 
-        params, buffers = init()
+        return init()
+
+    def build(renderer, scene_kind="dense"):
+        pair_cap, s_max = measure_demand(scene_kind)
+        cfg = model.GStexConfig(chart_pad=(8, 8), tile_h=32, tile_w=32,
+                                pair_cap=pair_cap, s_max=s_max,
+                                pixel_num=1e6,
+                                background_color="black", renderer=renderer)
+        params, buffers = scene_params(cfg, scene_kind)
         ocfg = optim.OptimConfig()
         state, tx = train_step.init_state(cfg, ocfg, params, buffers,
                                           jax.random.key(1))
@@ -194,6 +198,14 @@ def main():
     except Exception as e:
         print(f"# dense bench failed: {type(e).__name__}: {e}",
               flush=True)
+    ckpt_mpix = None
+    if SCENE_NPZ is not None:
+        try:
+            ckpt_mpix, scene_cfgs["ckpt"] = measure(best, "ckpt")
+            scene_cfgs["ckpt"]["npz"] = SCENE_NPZ
+        except Exception as e:
+            print(f"# ckpt-scene bench failed: {type(e).__name__}: {e}",
+                  flush=True)
     print(json.dumps({
         "metric": "fwd_bwd_mpix_per_s_chip",
         "value": round(mpix_s, 3),
@@ -206,6 +218,7 @@ def main():
         "dense_mpix_s": round(dense, 3) if dense else None,
         "vs_baseline_dense": (round(dense / CUDA_NOMINAL_MPIX_S, 3)
                               if dense else None),
+        "ckpt_mpix_s": round(ckpt_mpix, 3) if ckpt_mpix else None,
         # measurement provenance (see DESIGN.md "Bench-provenance
         # correction"): numbers are only comparable at equal scene configs
         # with overflow=0

@@ -191,3 +191,46 @@ def export_gaussian_ply(path, params, buffers, sh_degree: int = 3):
     for i in range(4):
         fields[f"rot_{i}"] = q[:, i]
     ply_io.write_ply(path, fields)
+
+
+def params_from_export_npz(cfg, path, key=None):
+    """Rebuild (params, buffers) from a ``gstex-npz`` full dump
+    (``export_npz``) — trained state as a scene source, e.g. for
+    benchmarking on real trained statistics instead of synthetic clouds.
+    Requires ``cfg.chart_pad`` to cover the dump's chart dims."""
+    import jax
+    import jax.numpy as jnp
+
+    from . import gstex as model
+
+    d = np.load(path)
+    n = d["xyz"].shape[0]
+    hw = d["texture_dims"][:, :2].astype(np.int32)
+    offsets = d["texture_dims"][:, 2].astype(np.int64)
+    ch, cw = cfg.chart_pad
+    if hw[:, 0].max() > ch or hw[:, 1].max() > cw:
+        raise ValueError(f"chart_pad {cfg.chart_pad} < dump chart dims "
+                         f"({hw[:, 0].max()}, {hw[:, 1].max()})")
+    flat = d["texture_dc"]
+    tex = np.zeros((n, ch, cw, 3), np.float32)
+    for i in range(n):
+        h, w = int(hw[i, 0]), int(hw[i, 1])
+        tex[i, :h, :w] = flat[offsets[i]:offsets[i] + h * w].reshape(h, w, 3)
+    params = model.GStexParams(
+        means=jnp.asarray(d["xyz"], jnp.float32),
+        log_scales=jnp.asarray(d["scaling"], jnp.float32),
+        quats=jnp.asarray(d["rotation"], jnp.float32),
+        opacity_logits=jnp.asarray(d["opacity"], jnp.float32).reshape(n, 1),
+        features_dc=jnp.asarray(d["features_dc"], jnp.float32),
+        features_rest=jnp.asarray(d["features_rest"], jnp.float32),
+        texture=jnp.asarray(tex),
+    )
+    if key is None:
+        key = jax.random.key(0)
+    buffers = model.GStexBuffers(
+        texture_hw=jnp.asarray(hw),
+        mappings=jnp.asarray(d["mappings"], jnp.float32),
+        pixel_scale=jnp.asarray(d["pixel_scale"], jnp.float32),
+        test_colors=jax.random.uniform(key, (n, 3)),
+    )
+    return params, buffers

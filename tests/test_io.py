@@ -142,3 +142,35 @@ def test_read_pcd_ascii_and_binary(tmp_path):
 
     raw = init_io.raw_from_points(p_b, c_b, sh_degree=1)
     assert raw["means"].shape == (3, 3)
+
+
+def test_export_npz_roundtrip(tmp_path):
+    """params_from_export_npz inverts export_npz (the bench --scene-npz /
+    trained-statistics scene source)."""
+    import jax
+
+    from gstex_tpu.data.synthetic import random_scene
+    from gstex_tpu.models import gstex as model
+    from gstex_tpu.models import init_io
+
+    cfg = model.GStexConfig(chart_pad=(8, 8))
+    s = random_scene(jax.random.key(0), 50, chart_pad=cfg.chart_pad)
+    p, b = model.init_params(cfg, s["means"], s["log_scales"], s["quats"],
+                             s["opacity_logits"], s["features_dc"],
+                             s["features_rest"])
+    p = p._replace(texture=jax.random.normal(jax.random.key(1),
+                                             p.texture.shape))
+    path = tmp_path / "dump.npz"
+    init_io.export_npz(path, p, b)
+    p2, b2 = init_io.params_from_export_npz(cfg, path)
+    hw = np.asarray(b.texture_hw)
+    for i in range(50):
+        h, w = hw[i]
+        np.testing.assert_allclose(np.asarray(p.texture)[i, :h, :w],
+                                   np.asarray(p2.texture)[i, :h, :w],
+                                   atol=1e-6)
+    np.testing.assert_allclose(np.asarray(p.means), np.asarray(p2.means))
+    np.testing.assert_allclose(np.asarray(p.log_scales),
+                               np.asarray(p2.log_scales))
+    np.testing.assert_allclose(np.asarray(b.mappings),
+                               np.asarray(b2.mappings))
