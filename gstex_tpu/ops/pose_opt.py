@@ -61,8 +61,14 @@ def exp_map_SE3(tangent):
     theta < 1e-2 like the reference (lie_groups.py:63-120)."""
     rho, w = tangent[..., :3], tangent[..., 3:]
     theta2 = jnp.sum(w * w, axis=-1)
-    theta = jnp.sqrt(theta2)
-    near = theta < 1e-2
+    near = theta2 < 1e-4
+    # sqrt has an infinite VJP at 0; deltas init at exactly zero, so an
+    # unguarded sqrt(theta2) poisons pose grads from step one (the
+    # where-branches turn 0*inf into NaN in the backward pass — torch is
+    # only safe because linalg.norm defines a zero subgradient). theta is
+    # consumed exclusively in the non-near branches below, so guarding the
+    # argument changes no primal value.
+    theta = jnp.sqrt(jnp.where(near, 1.0, theta2))
     t_nz = jnp.where(near, 1.0, theta)
     t2_nz = jnp.where(near, 1.0, theta2)
     t3_nz = jnp.where(near, 1.0, theta2 * theta)

@@ -168,8 +168,8 @@ class Trainer:
             self._camopt_step = step_mod.make_train_step_camopt(
                 mcfg, self.tx, self.pose_tx, tcfg.camera_opt)
             if tcfg.load_checkpoint:
-                aux = ckpt_io.latest_aux(
-                    Path(tcfg.load_checkpoint).parent, "pose")
+                aux = ckpt_io.aux_for_checkpoint(tcfg.load_checkpoint,
+                                                 "pose")
                 if aux is not None:
                     self.pose_state = ckpt_io.load_aux(aux, self.pose_state)
 

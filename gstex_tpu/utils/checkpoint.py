@@ -87,6 +87,35 @@ def latest_aux(ckpt_dir, tag: str) -> Path | None:
     return files[-1] if files else None
 
 
+def aux_for_checkpoint(ckpt_path, tag: str) -> Path | None:
+    """Aux sidecar MATCHING the main checkpoint's step. With
+    save_only_latest_checkpoint=False a user restoring an older
+    step-*.ckpt.npz must not silently get pose deltas from a later step
+    (round-4 advisor); fall back to the newest sidecar only with a
+    warning when no step-matched file exists (e.g. it was pruned by
+    keep_only_latest)."""
+    ckpt_path = Path(ckpt_path)
+    step = None
+    stem = ckpt_path.name
+    if stem.startswith("step-"):
+        digits = stem[len("step-"):].split(".")[0]
+        if digits.isdigit():
+            step = int(digits)
+    if step is not None:
+        exact = ckpt_path.parent / f"{tag}-{step:09d}.npz"
+        if exact.exists():
+            return exact
+    fallback = latest_aux(ckpt_path.parent, tag)
+    if fallback is not None:
+        import warnings
+
+        warnings.warn(
+            f"no {tag} aux file matches checkpoint step {step}; "
+            f"falling back to newest sidecar {fallback.name} — its state "
+            "may be from a later step than the restored params")
+    return fallback
+
+
 def load_aux(path, template):
     """Restore a sidecar pytree saved with ``save_aux``."""
     return load_checkpoint(path, template)

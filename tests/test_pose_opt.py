@@ -76,6 +76,28 @@ def test_zero_tangent_is_identity():
     np.testing.assert_allclose(np.asarray(out), np.asarray(c2w), atol=1e-6)
 
 
+def test_grads_finite_at_zero_tangent():
+    """Gradients through BOTH exp maps are finite at delta=0 — the state
+    every pose delta initializes to. An unguarded sqrt(theta2) gives SE3
+    an inf VJP there (0*inf NaN through the where-branches), which would
+    poison the first camera_opt="SE3" step (round-4 advisor, high)."""
+    import jax
+
+    for exp in (exp_map_SO3xR3, exp_map_SE3):
+        g = jax.grad(lambda d: jnp.sum(exp(d) ** 2))(jnp.zeros((2, 6)))
+        assert np.all(np.isfinite(np.asarray(g))), exp.__name__
+        # and just off zero, grads match finite differences
+        d0 = jnp.full((1, 6), 1e-3)
+        g = jax.grad(lambda d: jnp.sum(exp(d)))(d0)
+        eps = 1e-4
+        for j in range(6):
+            dp = d0.at[0, j].add(eps)
+            dm = d0.at[0, j].add(-eps)
+            fd = (float(jnp.sum(exp(dp))) - float(jnp.sum(exp(dm)))) / (
+                2 * eps)
+            np.testing.assert_allclose(float(g[0, j]), fd, atol=2e-3)
+
+
 def test_regularizer_weights():
     delta = jnp.zeros((4, 6)).at[0, 0].set(2.0).at[1, 4].set(4.0)
     # mean ||t|| = 2/4, mean ||w|| = 4/4 -> 1e-2*0.5 + 1e-3*1.0
