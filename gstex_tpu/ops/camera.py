@@ -19,9 +19,20 @@ Conventions:
 from __future__ import annotations
 
 import dataclasses
+import functools
 
 import jax
 import jax.numpy as jnp
+
+# Every matmul in this module is a tiny (*, 3) @ (3, 3) geometry transform.
+# On TPU, f32 matmuls lower to ONE bf16 MXU pass by default — rel error
+# ~4e-3, which shifted projected centers by up to 2.7 px and ray
+# directions enough to move ray-surfel hits on trained (sharp) scenes by
+# whole texels (the round-4 renderer-consistency failure: 0.43 max rgb
+# divergence was the XLA/oracle tiers' degraded `d_cam @ R.T`, not the
+# Pallas kernel, which computes dirs with explicit f32 VPU muls). These
+# ops are microscopic — force full f32 everywhere.
+_mm = functools.partial(jnp.matmul, precision=jax.lax.Precision.HIGHEST)
 
 
 @jax.tree_util.register_pytree_node_class
@@ -73,9 +84,9 @@ def viewmat_from_c2w(c2w: jax.Array) -> jax.Array:
     R = c2w[:3, :3]
     T = c2w[:3, 3:4]
     flip = jnp.diag(jnp.array([1.0, -1.0, -1.0], dtype=c2w.dtype))
-    R = R @ flip
+    R = _mm(R, flip)
     R_inv = R.T
-    T_inv = -R_inv @ T
+    T_inv = -_mm(R_inv, T)
     view = jnp.eye(4, dtype=c2w.dtype)
     view = view.at[:3, :3].set(R_inv)
     view = view.at[:3, 3:4].set(T_inv)
@@ -90,7 +101,7 @@ def camera_origin(c2w: jax.Array) -> jax.Array:
 def camera_rotation_gsplat(c2w: jax.Array) -> jax.Array:
     """(3,3) camera-to-world rotation in the gsplat (z-forward) convention."""
     flip = jnp.diag(jnp.array([1.0, -1.0, -1.0], dtype=c2w.dtype))
-    return c2w[:3, :3] @ flip
+    return _mm(c2w[:3, :3], flip)
 
 
 def project_points(means: jax.Array, viewmat: jax.Array, intrins) -> tuple[jax.Array, jax.Array]:
@@ -103,7 +114,7 @@ def project_points(means: jax.Array, viewmat: jax.Array, intrins) -> tuple[jax.A
         depths: (N,) view-space z.
     """
     fx, fy, cx, cy = intrins
-    p = means @ viewmat[:3, :3].T + viewmat[:3, 3]
+    p = _mm(means, viewmat[:3, :3].T) + viewmat[:3, 3]
     z = p[..., 2]
     safe_z = jnp.where(jnp.abs(z) < 1e-8, 1e-8, z)
     x = fx * p[..., 0] / safe_z + cx - 0.5
@@ -122,7 +133,7 @@ def pixel_ray_dirs(px_x: jax.Array, px_y: jax.Array, cam: Camera) -> jax.Array:
     dy = (px_y + 0.5 - cam.cy) / cam.fy
     d_cam = jnp.stack([dx, dy, jnp.ones_like(dx)], axis=-1)
     R = camera_rotation_gsplat(cam.c2w)
-    return d_cam @ R.T
+    return _mm(d_cam, R.T)
 
 
 def ray_dirs_typed(px_x: jax.Array, px_y: jax.Array, cam: Camera,
@@ -160,7 +171,7 @@ def ray_dirs_typed(px_x: jax.Array, px_y: jax.Array, cam: Camera,
     else:
         raise ValueError(f"unsupported camera_type {camera_type}")
     R = camera_rotation_gsplat(cam.c2w)
-    return d_cam @ R.T
+    return _mm(d_cam, R.T)
 
 
 def surfel_aabb_2d(
@@ -194,7 +205,7 @@ def surfel_aabb_2d(
         [means + e1 + e2, means + e1 - e2, means - e1 + e2, means - e1 - e2],
         axis=-2,
     )  # (N,4,3)
-    pv = corners @ viewmat[:3, :3].T + viewmat[:3, 3]
+    pv = _mm(corners, viewmat[:3, :3].T) + viewmat[:3, 3]
     z = pv[..., 2]
     valid = jnp.max(z, axis=-1) > near
     zc = jnp.maximum(z, near)

@@ -75,9 +75,10 @@ def make_pair_cull(geom: SplatGeom, cam: Camera, grid: TileGrid,
     # (dxc, dyc), so every dot against a gaussian vector is affine in
     # (dxc, dyc) with per-gaussian coefficients.
     om = origin - geom.mean                                   # (N,3)
-    nd_coef = geom.normal @ rot                               # (N,3): n.r_i
-    b1_coef = geom.ax1 @ rot
-    b2_coef = geom.ax2 @ rot
+    hp = jax.lax.Precision.HIGHEST  # bf16 MXU default skews cull planes
+    nd_coef = jnp.matmul(geom.normal, rot, precision=hp)      # (N,3): n.r_i
+    b1_coef = jnp.matmul(geom.ax1, rot, precision=hp)
+    b2_coef = jnp.matmul(geom.ax2, rot, precision=hp)
     numer = -jnp.sum(om * geom.normal, axis=-1)
     a1 = jnp.sum(om * geom.ax1, axis=-1)
     a2 = jnp.sum(om * geom.ax2, axis=-1)

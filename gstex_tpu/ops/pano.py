@@ -90,7 +90,8 @@ def compose_equirect(face_imgs, height: int, width: int):
     d = equirect_dirs_cam(height, width)              # (H, W, 3)
     faces = jnp.asarray(_FACES)                       # (6, 3, 3)
     # face-local coords: p = M^T d  ->  p[f] = d @ M[f]
-    p = jnp.einsum("hwc,fck->fhwk", d, faces)         # (6, H, W, 3)
+    p = jnp.einsum("hwc,fck->fhwk", d, faces,
+                   precision=jax.lax.Precision.HIGHEST)  # (6,H,W,3)
     pz = p[..., 2]
     # dominant face: largest forward component
     sel = jnp.argmax(pz, axis=0)                      # (H, W)

@@ -106,7 +106,8 @@ def apply_correction(c2w, adj):
     """c2w' = c2w @ [adj; 0 0 0 1] (camera_optimizers.py:154-162:
     corrections right-multiply camera_to_worlds). c2w: (3, 4)."""
     bottom = jnp.asarray([[0.0, 0.0, 0.0, 1.0]], dtype=adj.dtype)
-    return c2w @ jnp.concatenate([adj, bottom], axis=0)
+    return jnp.matmul(c2w, jnp.concatenate([adj, bottom], axis=0),
+                      precision=jax.lax.Precision.HIGHEST)
 
 
 def _safe_norm(x, axis=-1):

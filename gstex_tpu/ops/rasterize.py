@@ -257,8 +257,12 @@ def _pixel_geometry(grid, cam_arrays):
     dy = (px_y + 0.5 - cy) / fy
     d_cam = jnp.stack([dx, dy, jnp.ones_like(dx)], axis=-1)
     flip = jnp.diag(jnp.array([1.0, -1.0, -1.0], jnp.float32))
-    R = c2w[:3, :3] @ flip
-    dirs = d_cam @ R.T
+    # precision=HIGHEST: default f32 matmul is ONE bf16 MXU pass on TPU —
+    # degraded ray dirs moved trained-scene ray-surfel hits by whole
+    # texels (round-4 renderer-consistency failure, see ops/camera.py)
+    hp = jax.lax.Precision.HIGHEST
+    R = jnp.matmul(c2w[:3, :3], flip, precision=hp)
+    dirs = jnp.matmul(d_cam, R.T, precision=hp)
     origin = c2w[:3, 3]
     px = jnp.stack([px_x, px_y], axis=-1)
     return origin, dirs, px
@@ -329,7 +333,8 @@ def _raster_core_bwd(grid, res, g_maps):
             C_k = m1_tot - w * m - D
 
             s_direct = (
-                jnp.einsum("tc,tpc->tp", g.rgb[:, k], g_img)
+                jnp.einsum("tc,tpc->tp", g.rgb[:, k], g_img,
+                           precision=jax.lax.Precision.HIGHEST)
                 + jnp.sum(outs["texel"][:, k] * g_tex, axis=-1)
                 + outs["t"][:, k] * g_depth
                 + g_alpha
@@ -362,7 +367,8 @@ def _raster_core_bwd(grid, res, g_maps):
         }
         dg, dchart = pull(cot)
         # rgb is consumed outside _splat_local_chunk (identity path)
-        d_rgb = jnp.einsum("tkp,tpc->tkc", jnp.stack(w_list, axis=1), g_img)
+        d_rgb = jnp.einsum("tkp,tpc->tkc", jnp.stack(w_list, axis=1), g_img,
+                           precision=jax.lax.Precision.HIGHEST)
         dg = dg._replace(rgb=dg.rgb + d_rgb)
 
         # emit per-chunk pair grads (stacked by scan) — one bulk segment-sum

@@ -107,7 +107,11 @@ def pack_charts(texture: jax.Array) -> jax.Array:
 
 def _cam_info(cam: Camera, px_offset) -> jax.Array:
     flip = jnp.diag(jnp.array([1.0, -1.0, -1.0], jnp.float32))
-    R = cam.c2w[:3, :3] @ flip                      # gsplat cam-to-world rot
+    # HIGHEST: a bf16 MXU pass here rounds the rotation fed to the
+    # kernel's per-pixel ray dirs (cam_ref[9:18]) to ~4e-3 rel —
+    # the round-4/5 trained-state consistency failure class
+    R = jnp.matmul(cam.c2w[:3, :3], flip,
+                   precision=jax.lax.Precision.HIGHEST)
     o = cam.c2w[:3, 3]
     return jnp.concatenate([
         jnp.stack([cam.fx, cam.fy, cam.cx, cam.cy]),
