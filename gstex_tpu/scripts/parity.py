@@ -278,34 +278,70 @@ def synthetic_heldout(renderer: str, res: int, iters: int, out_dir: Path,
     # the check now covers several views and reports the full diff
     # statistics, not just one max.
     if renderer != "xla":
-        cfg_x = dataclasses.replace(tr.mcfg, renderer="xla")
-
-        @jax.jit
-        def both(params, buffers, cam):
-            rp = model.render(tr.mcfg, params, buffers, cam,
-                              jnp.int32(iters), jnp.zeros(3),
-                              eval_only=True)
-            rx = model.render(cfg_x, params, buffers, cam,
-                              jnp.int32(iters), jnp.zeros(3))
-            return rp["rgb"], rx["rgb"]
-
-        diffs = []
-        n_cons = min(4, len(eval_cache))
-        for i in range(n_cons):
-            cam_i, _, _ = eval_cache.get(i)
-            rp, rx = both(tr.state.params, tr.state.buffers, cam_i)
-            diffs.append(np.abs(np.asarray(rp) - np.asarray(rx)))
-        d = np.stack(diffs)
-        agg["renderer_consistency_views"] = n_cons
-        agg["renderer_consistency_max_rgb_diff"] = float(d.max())
-        agg["renderer_consistency_mean_rgb_diff"] = float(d.mean())
-        agg["renderer_consistency_p99_rgb_diff"] = float(
-            np.percentile(d.max(-1).reshape(n_cons, -1), 99))
-        agg["renderer_consistency_pass"] = bool(d.max() < 5e-3)
-        print(f"[parity] renderer consistency over {n_cons} views: "
-              f"max {d.max():.2e} mean {d.mean():.2e} "
-              f"({'PASS' if d.max() < 5e-3 else 'FAIL'})")
+        agg.update(renderer_consistency(tr.mcfg, tr.state, eval_cache,
+                                        iters))
     return agg
+
+
+def renderer_consistency(mcfg, state, eval_cache, iters, n_views: int = 4):
+    """Render the SAME trained state through the production pallas path
+    and the independent XLA tier on held-out views; gate on the full diff
+    distribution.
+
+    Gate rationale (round-5 triage, scripts_dev/triage_consistency.py):
+    after the geometry-matmul precision fix the two tiers agree to
+    ~1e-4 mean / ~8e-4 p99 on a 15k-step 800² state, EXCEPT isolated
+    splat-inclusion flips at the transmittance break: both tiers stop
+    blending when T·(1-α) ≤ T_EPS, so a ~1-ulp α difference can flip one
+    whole splat whose weight is bounded by T_EPS/(1-ALPHA_CLAMP) = 0.1
+    (the CUDA reference has the identical cliff between its two
+    implementations, ``gstex_cuda`` vs ``_torch_impl``). A strict 5e-3
+    max-gate therefore fails on ~1 pixel per 640k; the gate instead
+    bounds the distribution: mean < 5e-4, p99 < 5e-3, flip fraction
+    (>5e-3) ≤ 0.01%, and every diff under the 0.1 cliff amplitude.
+    """
+    import dataclasses as _dc
+
+    import jax
+    import jax.numpy as jnp
+
+    from ..models import gstex as model
+
+    cfg_x = _dc.replace(mcfg, renderer="xla")
+
+    @jax.jit
+    def both(params, buffers, cam):
+        rp = model.render(mcfg, params, buffers, cam, jnp.int32(iters),
+                          jnp.zeros(3), eval_only=True)
+        rx = model.render(cfg_x, params, buffers, cam, jnp.int32(iters),
+                          jnp.zeros(3))
+        return rp["rgb"], rx["rgb"]
+
+    diffs = []
+    n_cons = min(n_views, len(eval_cache))
+    for i in range(n_cons):
+        cam_i, _, _ = eval_cache.get(i)
+        rp, rx = both(state.params, state.buffers, cam_i)
+        diffs.append(np.abs(np.asarray(rp) - np.asarray(rx)))
+    d = np.stack(diffs)
+    px = d.max(-1).reshape(-1)
+    flip_frac = float((px > 5e-3).mean())
+    out = {
+        "renderer_consistency_views": n_cons,
+        "renderer_consistency_max_rgb_diff": float(d.max()),
+        "renderer_consistency_mean_rgb_diff": float(d.mean()),
+        "renderer_consistency_p99_rgb_diff": float(np.percentile(px, 99)),
+        "renderer_consistency_flip_frac_gt_5e3": flip_frac,
+        "renderer_consistency_pass": bool(
+            d.mean() < 5e-4 and np.percentile(px, 99) < 5e-3
+            and flip_frac <= 1e-4 and d.max() < 0.1),
+    }
+    print(f"[parity] renderer consistency over {n_cons} views: "
+          f"max {d.max():.2e} mean {d.mean():.2e} "
+          f"p99 {out['renderer_consistency_p99_rgb_diff']:.2e} "
+          f"flips {flip_frac:.2e} "
+          f"({'PASS' if out['renderer_consistency_pass'] else 'FAIL'})")
+    return out
 
 
 def main(argv=None):
