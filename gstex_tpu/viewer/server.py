@@ -454,6 +454,8 @@ class Viewer:
                     self._send(404, b"{}")
 
         self.httpd = ThreadingHTTPServer(("0.0.0.0", self.port), Handler)
+        # port=0 asks the OS for an ephemeral port (parallel test workers)
+        self.port = self.httpd.server_address[1]
         self.rsm.start()
         t = threading.Thread(target=self.httpd.serve_forever, daemon=True)
         t.start()

@@ -180,6 +180,7 @@ def test_cli_parity_quick(dataset_dir, tmp_path):
     assert report["target_psnr_table1"] == 33.25
 
 
+@pytest.mark.slow
 def test_cli_set_overrides(dataset_dir, tmp_path):
     """--set section.field=value reaches nested config fields (the tyro
     --pipeline.model.* flag-surface analog, method_configs.py:136-143)."""

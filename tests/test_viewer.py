@@ -18,19 +18,20 @@ from gstex_tpu.viewer.server import Viewer
 CFG = model.GStexConfig(chart_pad=(4, 4), tile_h=8, tile_w=16,
                         pair_cap=1 << 14, s_max=64, pixel_num=300,
                         background_color="black")
-PORT = 17971
+PORT = 0  # ephemeral: xdist workers must not race on a fixed port
+_BOUND = {}
 
 
 def _post(path, payload):
     req = urllib.request.Request(
-        f"http://127.0.0.1:{PORT}{path}",
+        f"http://127.0.0.1:{_BOUND['port']}{path}",
         data=json.dumps(payload).encode(), method="POST")
     return json.loads(urllib.request.urlopen(req, timeout=120).read())
 
 
 def _get(path):
     return urllib.request.urlopen(
-        f"http://127.0.0.1:{PORT}{path}", timeout=120)
+        f"http://127.0.0.1:{_BOUND['port']}{path}", timeout=120)
 
 
 @pytest.fixture(scope="module")
@@ -43,6 +44,7 @@ def viewer():
     state, _ = train_step.init_state(CFG, optim.OptimConfig(), params,
                                      buffers, jax.random.key(0))
     v = Viewer(CFG, lambda: state, port=PORT).start()
+    _BOUND["port"] = v.port
     yield v
     v.close()
 
