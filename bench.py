@@ -259,16 +259,21 @@ def main():
         import numpy as _np
 
         maps, ncon = fwd_kernel(*staged)
-        float(_np.asarray(maps[0, 0, :1]))  # device sync
+        # sync on ONE element — np.asarray(ncon) would drag the full
+        # (T, pr, 128) buffer through the tunnel inside the timed loop
+        float(ncon[0, 0, 0])
         reps = 5
         t0 = time.perf_counter()
         for _ in range(reps):
             maps, ncon = fwd_kernel(*staged)
-            float(_np.asarray(maps[0, 0, :1]))
+            float(ncon[0, 0, 0])
         fwd_ms = (time.perf_counter() - t0) / reps * 1e3
 
         ncon_np = _np.asarray(ncon).reshape(ncon.shape[0], -1)
         cnt = _np.minimum(_np.asarray(counts), cfg.s_max).astype(_np.int64)
+        # unbroken pixels report ncontrib = s_cap; their true walk is the
+        # tile's count
+        ncon_np = _np.minimum(ncon_np, cnt[:, None])
         walk = _np.minimum(ncon_np.max(1) + 1, cnt)
         K = rp5.CHUNK
         walked_chunks = float(_np.ceil(walk / K).sum())
@@ -286,6 +291,11 @@ def main():
             "issue_ns_per_vreg": ISSUE_NS_PER_VREG,
             "fwd_vregs_per_chunk": FWD_VREGS_PER_CHUNK,
         }
+
+    if "--sol-only" in sys.argv:
+        print(json.dumps({"sol": {sk: sol_accounting(sk)
+                                  for sk in ("dense", "trained")}}))
+        return
 
     results, scene_cfgs = {}, {}
     for renderer in ("pallas", "xla"):
