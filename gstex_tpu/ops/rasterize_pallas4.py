@@ -726,9 +726,12 @@ def _bwd_kernel4(grid: TileGrid, s_max: int, ch_blk, cw_blk, tile0_ref,
                 tmp = _dot_cols(chart_kb, wy)                     # (cg, P)
 
                 wxk = wx * wk      # blend weight folded once, (hsub, P)
+                # pad_rows == 0 at hsub = 32 — (0, P) is an invalid
+                # Mosaic vector type
                 m2 = jnp.concatenate(
                     [wxk * g_tex[ci] for ci in range(3)]
-                    + [jnp.zeros((pad_rows, pix), jnp.float32)], axis=0)
+                    + ([jnp.zeros((pad_rows, pix), jnp.float32)]
+                       if pad_rows else []), axis=0)
                 d_chart_grp.append(jax.lax.dot_general(
                     wy, m2, (((1,), (1,)), ((), ())),
                     preferred_element_type=jnp.float32))          # (cw, cg)

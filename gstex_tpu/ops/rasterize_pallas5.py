@@ -752,8 +752,10 @@ def _bwd_kernel5(grid: TileGrid, s_cap: int, ch_blk, cw_blk, lean,
                 # layout, so it gets the zero-padded version
                 m2r = jnp.concatenate(
                     [wxk * g_tex[ci] for ci in range(3)], axis=0)
-                m2 = jnp.concatenate(
-                    [m2r, jnp.zeros((pad_rows, pix), jnp.float32)], axis=0)
+                # pad_rows == 0 at hsub = 32 (cg = 3*hsub exactly) —
+                # a (0, P) vector is an invalid Mosaic type
+                m2 = (m2r if pad_rows == 0 else jnp.concatenate(
+                    [m2r, jnp.zeros((pad_rows, pix), jnp.float32)], axis=0))
                 if batch_dcg:
                     wy_rows.append(wy)
                     m2_rows.append(m2r)
