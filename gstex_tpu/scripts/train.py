@@ -164,6 +164,12 @@ def main(argv=None):
                                            renderer=auto_renderer())
     for ov in args.overrides:
         method = apply_override(method, ov)
+    # size the pair buffers to the scene's measured demand at startup
+    # (TrainerConfig.demand_size_caps) unless the user pinned the caps
+    if not any(o.split("=")[0] in ("model.pair_cap", "model.s_max")
+               for o in args.overrides):
+        method.trainer = dataclasses.replace(method.trainer,
+                                             demand_size_caps=True)
     if args.max_num_iterations is not None:
         method.trainer = dataclasses.replace(
             method.trainer, max_num_iterations=args.max_num_iterations)

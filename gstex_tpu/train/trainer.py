@@ -89,6 +89,15 @@ class TrainerConfig:
     # reference's --vis surface, ``utils/writer.py:304-534``); JSONL and
     # console are always on. Unavailable sinks no-op with a notice.
     vis: str = "tensorboard"
+    # size pair_cap/s_max to the scene's MEASURED first-view pair demand
+    # at startup (binning.settle_caps) instead of trusting the config
+    # seed caps. Every pair-space buffer scales with pair_cap, so a
+    # 1<<20 default on a 40-gaussian scene wastes memory and compile
+    # time — and with chart_pad_max charts the oversized pair-major grad
+    # buffers can exceed VMEM windowing limits outright (round-5 CLI
+    # e2e). The CLI turns this on unless the user overrides the caps;
+    # overflow-driven growth still handles later drift either way.
+    demand_size_caps: bool = False
     # camera pose optimization: off | SO3xR3 | SE3. A learnable
     # (num_train_cameras, 6) tangent array whose exp map right-multiplies
     # each training c2w, optimized jointly under the camera_opt group
@@ -116,6 +125,8 @@ class Trainer:
                                                  self.state)
             print(f"resumed from {tcfg.load_checkpoint} at step "
                   f"{int(self.state.step)}")
+        if tcfg.demand_size_caps and len(train_cache) > 0:
+            self.mcfg = mcfg = self._demand_size_caps(mcfg)
         self.mesh = None
         self.dp = 0
         if tcfg.num_devices > 1:
@@ -268,6 +279,49 @@ class Trainer:
                 self._scan_steps[key] = step_mod.make_train_scan(self.mcfg,
                                                                  self.tx)
         return self._scan_steps[key]
+
+    def _demand_size_caps(self, mcfg):
+        """One generously-capped binning pass on the first train view;
+        settle pair_cap/s_max to measured demand (the static analog of
+        ``_grow_capacities``; same ``settle_caps`` policy bench.py uses)."""
+        import functools
+
+        from ..ops.binning import build_tile_bins_flat, settle_caps
+        from ..ops.cull import make_pair_cull
+        from ..ops.prepare import prepare_splats
+
+        cam, _, _ = self.train_cache.get(0)
+        params, buffers = self.state.params, self.state.buffers
+
+        @functools.partial(jax.jit, static_argnums=(2, 3))
+        def demand(params, buffers, pair_cap, s_cap):
+            grid = mcfg.grid(cam.height, cam.width)
+            prep = prepare_splats(
+                params.means, params.log_scales, params.quats,
+                params.opacity_logits, params.features_dc,
+                params.features_rest, buffers.mappings, cam,
+                active_sh_degree=mcfg.sh_degree, sh_degree=mcfg.sh_degree,
+                fix_init=mcfg.fix_init, extent_sigma=mcfg.sigma_factor)
+            cf = (make_pair_cull(prep.geom, cam, grid)
+                  if mcfg.pair_cull else None)
+            fb = build_tile_bins_flat(prep.centers, prep.extents,
+                                      prep.depths, prep.valid, grid,
+                                      pair_cap=pair_cap, s_cap=s_cap,
+                                      cull_fn=cf)
+            return fb.total_pairs, jnp.max(fb.counts), fb.overflow
+
+        pair_cap, s_cap = max(mcfg.pair_cap, 1 << 20), 4096
+        for _ in range(3):
+            tp, mtc, ovf = demand(params, buffers, pair_cap, s_cap)
+            if int(ovf) == 0:
+                break
+            pair_cap, s_cap = min(pair_cap * 2, 1 << 23), 4096
+        new_p, new_s = settle_caps(int(tp), int(mtc))
+        if (new_p, new_s) != (mcfg.pair_cap, mcfg.s_max):
+            print(f"demand-sized capacities: pair_cap {mcfg.pair_cap}->"
+                  f"{new_p}, s_max {mcfg.s_max}->{new_s} "
+                  f"(measured {int(tp)} pairs, hottest tile {int(mtc)})")
+        return dataclasses.replace(mcfg, pair_cap=new_p, s_max=new_s)
 
     def _camopt_step_for(self, cam):
         """Per-resolution sharded camopt step (round-4 verdict weak #5:
