@@ -389,12 +389,22 @@ def render(
         cull_fn = make_pair_cull(jax.lax.stop_gradient(prep.geom), cam, grid)
     # the default pallas tier (v5) consumes the flat pair-major layout;
     # the dense (T, s_max) lists back the older tiers, the XLA oracle, and
-    # the huge-chart fallback (see rasterize_pallas_api.use_flat_path)
-    from ..ops.rasterize_pallas_api import use_flat_path
+    # the huge-chart fallback (see rasterize_pallas_api.use_flat_path).
+    # When NEITHER pallas tier fits the chart shape in memory (the
+    # chart_pad_max regime: few gaussians, giant per-gaussian charts —
+    # v5's pair-space grad rows overflow HBM, v4's per-tile chart-grad
+    # output window overflows VMEM), fall back to the XLA tier: that
+    # regime is low-pair-count by construction, so the scan renderer is
+    # both correct and fast enough there.
+    from ..ops.rasterize_pallas_api import dense_pallas_fits, use_flat_path
 
     use_flat = not extra and use_flat_path(
         cfg.renderer, params.texture.shape[1:3], cfg.pair_cap,
         grid.num_tiles)
+    if (not use_flat and cfg.renderer.startswith("pallas")
+            and not dense_pallas_fits(params.texture.shape[1:3],
+                                      cfg.s_max)):
+        cfg = dataclasses.replace(cfg, renderer="xla")
     if use_flat:
         from ..ops.binning import build_tile_bins_flat
 

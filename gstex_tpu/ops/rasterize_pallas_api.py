@@ -219,6 +219,22 @@ def use_flat_path(renderer: str, chart_pad, pair_cap: int,
             <= FLAT_DCHARTS_BYTES_CAP)
 
 
+# The v4 dense tier's backward emits a per-tile (s_max * g_rows, 128)
+# chart-grad block whose double-buffered VMEM output window must fit the
+# 128 MB v5e VMEM alongside the chart scratch + spills. 32 MB windows
+# leave comfortable headroom (the (8,8)-chart production config uses
+# ~17 MB at s_max 2048).
+V4_BWD_WINDOW_ROWS_CAP = 1 << 15
+
+
+def dense_pallas_fits(chart_pad, s_max: int) -> bool:
+    """Can the v4 dense tier's backward compile for these shapes?"""
+    ch_blk = rp4._ch_blk_of(chart_pad[0])
+    hsub, n_hb = rp4._chart_blocks(ch_blk)
+    cw_blk = -(-chart_pad[1] // 8) * 8
+    return s_max * n_hb * cw_blk <= V4_BWD_WINDOW_ROWS_CAP
+
+
 def _flat_inputs5(records_n, fbins: FlatBins, s_cap, cam_info):
     """Gather wide records into slot order (with one tile-window of end
     padding for the per-tile whole-window DMA) and pad the id list so any

@@ -74,10 +74,17 @@ def _render_band(cfg, params, buffers, cam, step, axis_name, bgrid, band_h,
 
         cull_fn = make_pair_cull(jax.lax.stop_gradient(prep.geom), cam,
                                  bgrid, px_offset=(jnp.float32(0.0), y0))
-    from ..ops.rasterize_pallas_api import use_flat_path
+    from ..ops.rasterize_pallas_api import dense_pallas_fits, use_flat_path
 
     use_flat = use_flat_path(cfg.renderer, params.texture.shape[1:3],
                              cfg.pair_cap, bgrid.num_tiles)
+    if (not use_flat and cfg.renderer.startswith("pallas")
+            and not dense_pallas_fits(params.texture.shape[1:3],
+                                      cfg.s_max)):
+        # huge-chart regime: neither pallas tier fits (see models/gstex.py)
+        import dataclasses as _dc
+
+        cfg = _dc.replace(cfg, renderer="xla")
     if use_flat:
         from ..ops.binning import build_tile_bins_flat
 
