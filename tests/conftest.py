@@ -21,6 +21,12 @@ import jax  # noqa: E402
 jax.config.update("jax_platforms", "cpu")
 # fp32 matmuls for test parity (the reference trains in fp32)
 jax.config.update("jax_default_matmul_precision", "highest")
+# persistent XLA:CPU compile cache: the tier is compile-bound (the
+# ~20-30 s train-step compiles dominate); warm runs drop to a fraction
+# of cold. Keyed by HLO, so code changes re-compile only what changed.
+jax.config.update("jax_compilation_cache_dir",
+                  os.path.expanduser("~/.jax_compile_cache_cpu"))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402

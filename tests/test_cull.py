@@ -62,6 +62,7 @@ def test_cull_drops_pairs_and_output_identical():
     assert float(out_on["alpha"].max()) > 0.3
 
 
+@pytest.mark.slow
 def test_cull_gradients_identical():
     scene, cam, prep = _make(seed=7)
 

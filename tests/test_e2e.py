@@ -247,6 +247,7 @@ def test_cli_parity_synthetic(tmp_path):
     assert (tmp_path / "parity.json").exists()
 
 
+@pytest.mark.slow
 def test_cli_smoke_fast(dataset_dir, tmp_path):
     """FAST-TIER console-script smoke (round-3 verdict weak #6): the
     default pytest run must exercise gstex-train + gstex-eval end-to-end,

@@ -16,6 +16,7 @@ are fp32 end-to-end.
 """
 
 import numpy as np
+import pytest
 
 import jax
 import jax.numpy as jnp
@@ -126,6 +127,7 @@ def test_prepare_splats_no_default_dots():
         assert p == (jax.lax.Precision.HIGHEST,) * 2, p
 
 
+@pytest.mark.slow
 def test_trained_statistics_two_tier_render():
     """Saturated-opacity surface statistics (the regime that exposed the
     round-4 failure) rendered through the flat pallas path (interpret) and

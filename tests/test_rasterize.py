@@ -91,6 +91,7 @@ def _loss_oracle(scene, cam, cot):
     return sum(jnp.sum(out[k] * cot[k]) for k in cot)
 
 
+@pytest.mark.slow
 def test_gradients_match_oracle():
     scene, cam = make_inputs(n=32, seed=1)
     key = jax.random.key(42)

@@ -249,6 +249,7 @@ def test_sharded_camopt_matches_single():
         np.asarray(p2.opt_state.acc_grads), atol=1e-4, rtol=1e-3)
 
 
+@pytest.mark.slow
 def test_trainer_camopt_multidevice(tmp_path):
     """Trainer wires camera_opt through the mesh path end-to-end."""
     from gstex_tpu.data.manager import FullImageCache

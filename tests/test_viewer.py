@@ -175,6 +175,7 @@ def test_control_panel_crop_and_colormap(viewer):
     _post("/control", {"action": "set_max_res", "max_res": 768})
 
 
+@pytest.mark.slow
 def test_render_generation_interrupt(viewer):
     """A camera submitted mid-band aborts the in-flight banded render
     (reference render_state_machine.py:204-212 check_interrupt)."""
@@ -202,6 +203,7 @@ def test_render_generation_interrupt(viewer):
     assert img2 is not None and "superseded" not in meta2
 
 
+@pytest.mark.slow
 def test_split_view(viewer):
     """Split slider composes two outputs left/right of the column."""
     viewer.split_output = "depth"
