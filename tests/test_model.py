@@ -332,3 +332,66 @@ def test_oracle_renderer_tier():
     np.testing.assert_allclose(np.asarray(out_o["depth"]),
                                np.asarray(out_x["depth"]), atol=2e-5)
     assert int(out_o["overflow"]) == 0
+
+
+def test_trainer_demand_sizes_caps(tmp_path):
+    """demand_size_caps settles oversized seed caps to measured demand
+    before the first compile (round-5: a 1<<20 seed on a tiny scene)."""
+    import jax
+
+    from gstex_tpu.data.manager import FullImageCache
+    from gstex_tpu.data.synthetic import orbit_camera, random_scene
+    from gstex_tpu.train import optim
+    from gstex_tpu.train.trainer import Trainer, TrainerConfig
+
+    cfg = model.GStexConfig(chart_pad=(4, 4), tile_h=8, tile_w=8,
+                            pair_cap=1 << 20, s_max=4096, pixel_num=256,
+                            background_color="black", renderer="xla",
+                            build_chart_every=0)
+    scene = random_scene(jax.random.key(0), 32, chart_pad=cfg.chart_pad)
+    params, buffers = model.init_params(
+        cfg, scene["means"], scene["log_scales"], scene["quats"],
+        scene["opacity_logits"], scene["features_dc"],
+        scene["features_rest"])
+    cams = [orbit_camera(32, 32, dist=4.0)]
+    imgs = [np.full((32, 32, 3), 128, np.uint8)]
+    tcfg = TrainerConfig(max_num_iterations=1, steps_per_save=0,
+                         steps_per_eval_image=0, log_every=0,
+                         output_dir=str(tmp_path), vis="",
+                         demand_size_caps=True)
+    tr = Trainer(tcfg, cfg, optim.OptimConfig(max_steps=1), params,
+                 buffers, FullImageCache(cameras=cams, images=imgs))
+    assert tr.mcfg.pair_cap < cfg.pair_cap
+    assert tr.mcfg.s_max < cfg.s_max
+    tr.train()  # and the right-sized step actually runs
+
+
+def test_giant_chart_renderer_dispatch():
+    """chart_pad_max-regime configs where neither pallas tier fits must
+    render through the XLA tier — statically, from (chart_pad, s_max).
+    On CPU a pallas_call would hard-error, so success here IS the
+    dispatch proof."""
+    import jax
+
+    from gstex_tpu.data.synthetic import orbit_camera, random_scene
+    from gstex_tpu.ops.rasterize_pallas_api import (dense_pallas_fits,
+                                                    use_flat_path)
+
+    cfg = model.GStexConfig(chart_pad=(128, 128), tile_h=16, tile_w=16,
+                            pair_cap=1 << 19, s_max=512, pixel_num=1e6,
+                            background_color="black", renderer="pallas")
+    assert not use_flat_path("pallas", (128, 128), cfg.pair_cap,
+                             cfg.grid(64, 64).num_tiles)
+    assert not dense_pallas_fits((128, 128), cfg.s_max)
+    # and the production (8,8)-chart config stays on the pallas tiers
+    assert dense_pallas_fits((8, 8), 2048)
+
+    scene = random_scene(jax.random.key(0), 8, chart_pad=cfg.chart_pad)
+    params, buffers = model.init_params(
+        cfg, scene["means"], scene["log_scales"], scene["quats"],
+        scene["opacity_logits"], scene["features_dc"],
+        scene["features_rest"])
+    cam = orbit_camera(32, 32, dist=4.0)
+    out = model.render(cfg, params, buffers, cam, jnp.int32(0),
+                       jnp.zeros(3))
+    assert np.isfinite(np.asarray(out["rgb"])).all()
