@@ -179,7 +179,7 @@ def main():
                                    # lies on axon; program load is lazy)
         # two scales; self-verify real sequential training is happening
         dt1, losses1, state, _ = timed(scan_fn, state, 1)
-        dt2, losses2, state, metrics = timed(scan_fn, state, 3)
+        dt2, losses2, state, metrics = timed(scan_fn, state, 4)
         assert (float(metrics["loss"][-1]) > 0
                 and float(metrics["psnr"][-1]) < 99), "degenerate bench step"
         assert float(metrics["overflow"][-1]) == 0, \

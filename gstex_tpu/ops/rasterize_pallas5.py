@@ -898,6 +898,73 @@ def _bwd_kernel5(grid: TileGrid, s_cap: int, ch_blk, cw_blk, lean,
         d_nd = jnp.where(nd_pass, -t_hit * d_an, 0.0)
 
         wfl = None if lean else w * fl
+        if MXU_LEVEL & 32:
+            # MXU bit 5: the 22 per-field (K,P)->(K,1) pixel reductions
+            # of the record-grad assembly become THREE shared-RHS MXU
+            # dots — sum_P(x * d_i) rows factor as x @ [d0;d1;d2] with x
+            # in {d_nd, d_u*t, d_v*t}, the img rows as w @ [g_img], and
+            # the 8 plain rows as one ones-dot. HIGHEST precision keeps
+            # the grads f32-exact like the tree adds they replace.
+            # MEASURED DEAD END (round 5, default OFF): 131.6 vs 126.8
+            # ms/step dense — the 6-pass f32-emulated dots with 1-3-lane
+            # outputs are latency-bound and the 14-piece lane concat
+            # relayouts eat the rest; the masked tree-add assembly it
+            # replaces only costs ~10 ms total ("skip reduce" probe).
+            # Kept behind the bit for provenance; gradchecks cover it.
+            def dotpp(lhs, rhs):
+                return jax.lax.dot_general(
+                    lhs, rhs, (((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                    precision=jax.lax.Precision.HIGHEST)
+
+            du_t = d_u * t_hit
+            dv_t = d_v * t_hit
+            b_d = jnp.concatenate([d0, d1, d2], axis=0)          # (3,P)
+            sums3 = dotpp(jnp.concatenate([d_nd, du_t, dv_t], axis=0),
+                          b_d)                                   # (3K,3)
+            snd = sums3[0:CHUNK]
+            if not lean:
+                snd = snd + dotpp(wfl, jnp.concatenate(
+                    [g_norm[0], g_norm[1], g_norm[2]], axis=0))
+            sums_w = dotpp(w, jnp.concatenate(
+                [g_img[0], g_img[1], g_img[2]], axis=0))         # (K,3)
+            ones_row = jnp.ones((1, pix), jnp.float32)
+            plain = jnp.concatenate(
+                [d_an, d_u, d_v, d_uvu, d_uvv, d_op, d_xy0, d_xy1],
+                axis=0)                                          # (8K,P)
+            sums_p = dotpp(plain, ones_row)                      # (8K,1)
+            (s_an, s_du, s_dv, s_uvu, s_uvv, s_op, s_xy0,
+             s_xy1) = (sums_p[i * CHUNK:(i + 1) * CHUNK]
+                       for i in range(8))
+            z3 = jnp.zeros((CHUNK, 3), jnp.float32)
+            grad_chunk = jnp.concatenate([
+                snd, s_an, sums3[CHUNK:2 * CHUNK], s_du,
+                sums3[2 * CHUNK:], s_dv, z3, s_uvu, z3, s_uvv, s_op,
+                sums_w, s_xy0, s_xy1,
+                jnp.zeros((CHUNK, REC_W - 26), jnp.float32)], axis=1)
+            if ks_fetch and "dchart" not in _DEBUG_SKIP:
+                dall_buf[slot, :, 0:128] = (dall_buf[slot, :, 0:128]
+                                            + grad_chunk)
+            else:
+                dall_buf[slot, :, 0:128] = grad_chunk
+            if "dwrite" not in _DEBUG_SKIP:
+                dall_cp(c, slot).start()
+            t_start = t_end * s_inv[0:1, :]
+            if lean:
+                bs_new = bs_c + (_mx(_block_ones(CHUNK, 1), sw)
+                                 if MXU_LEVEL & 2 else _sum_rows(sw))
+                return (c - 1, t_start, bs_new, e_c, d_c)
+            if MXU_LEVEL & 2:
+                sums = _mx(_block_ones(CHUNK, 3),
+                           jnp.concatenate([sw, w, wm], axis=0))
+                bs_new = bs_c + sums[0:1]
+                e_new = e_c + sums[1:2]
+                d_new = d_c + sums[2:3]
+            else:
+                bs_new = bs_c + _sum_rows(sw)
+                e_new = e_c + _sum_rows(w)
+                d_new = d_c + _sum_rows(wm)
+            return (c - 1, t_start, bs_new, e_new, d_new)
         td0, td1, td2 = t_hit * d0, t_hit * d1, t_hit * d2
         # fields 12-14/16-18 are the detached uv direction coefficients
         # (stop_gradient upstream) — their record grads are skipped (v4)
