@@ -3,6 +3,7 @@ trainer's joint-pose-optimization path (reference
 ``cameras/camera_optimizers.py`` / ``cameras/lie_groups.py``)."""
 
 import numpy as np
+import pytest
 
 import jax.numpy as jnp
 
@@ -159,3 +160,82 @@ def test_trainer_camopt_step(tmp_path):
                   buffers, cache)
     np.testing.assert_allclose(np.asarray(tr2.pose_state.delta),
                                np.asarray(tr.pose_state.delta))
+
+
+@pytest.mark.slow
+def test_camopt_recovers_perturbed_poses():
+    """Efficacy, not just plumbing: GT images rendered from TRUE cameras,
+    training cameras perturbed by a known tangent p — joint optimization
+    must drive each delta toward the inverse perturbation (-p) and beat
+    the frozen-pose loss. (The reference ships camera_opt off for GStex;
+    this demonstrates the capability actually optimizes.)"""
+    import dataclasses
+
+    import jax
+
+    from gstex_tpu.data.synthetic import orbit_camera, random_scene
+    from gstex_tpu.models import gstex as model
+    from gstex_tpu.ops.pose_opt import apply_correction, exp_map_SO3xR3
+    from gstex_tpu.train import optim, step as train_step
+
+    cfg = model.GStexConfig(chart_pad=(4, 4), tile_h=8, tile_w=8,
+                            pair_cap=1 << 13, s_max=128, pixel_num=512,
+                            background_color="black", renderer="xla",
+                            sh_degree_interval=0)
+    scene = random_scene(jax.random.key(0), 48, chart_pad=cfg.chart_pad)
+    params, buffers = model.init_params(
+        cfg, scene["means"], scene["log_scales"], scene["quats"],
+        scene["opacity_logits"] + 1.0, scene["features_dc"],
+        scene["features_rest"])
+    h = w = 48
+    true_cams = [orbit_camera(h, w, dist=3.5, azimuth=2.1 * i)
+                 for i in range(3)]
+    gts = [model.render(cfg, params, buffers, c, jnp.int32(9000),
+                        jnp.zeros(3))["rgb"] for c in true_cams]
+
+    rng = np.random.default_rng(7)
+    perts = jnp.asarray(rng.normal(0, 0.02, (3, 6)).astype(np.float32))
+    cams = [dataclasses.replace(
+        c, c2w=apply_correction(c.c2w, exp_map_SO3xR3(perts[i])))
+        for i, c in enumerate(true_cams)]
+
+    def run(mode, iters=1200):
+        # the jitted steps donate the state — give each run its own copy
+        state, tx = train_step.init_state(
+            cfg, optim.OptimConfig(max_steps=iters),
+            jax.tree.map(jnp.array, params),
+            jax.tree.map(jnp.array, buffers), jax.random.key(1))
+        if mode == "off":
+            fn = train_step.make_train_step(cfg, tx)
+            pose = None
+        else:
+            pose, pose_tx = train_step.init_pose_state(3)
+            fn = train_step.make_train_step_camopt(cfg, tx, pose_tx, mode)
+        losses = []
+        for s in range(iters):
+            i = s % 3
+            if pose is None:
+                state, m = fn(state, cams[i], gts[i])
+            else:
+                state, pose, m = fn(state, pose, cams[i], jnp.int32(i),
+                                    gts[i])
+            losses.append(float(m["loss"]))
+        return np.mean(losses[-30:]), pose
+
+    loss_frozen, _ = run("off")
+    loss_opt, pose = run("SO3xR3")
+    assert loss_opt < loss_frozen, (loss_opt, loss_frozen)
+
+    # deltas point toward the inverse perturbation. After only ~12 pose
+    # updates (100-step accumulation) convergence is partial and the
+    # model itself absorbs some misalignment, so the gate is directional:
+    # positive alignment on every camera, strong on average.
+    delta = np.asarray(pose.delta)
+    target = -np.asarray(perts)
+    coss = []
+    for i in range(3):
+        cos = (delta[i] @ target[i]) / (
+            np.linalg.norm(delta[i]) * np.linalg.norm(target[i]) + 1e-12)
+        assert cos > 0.1, (i, cos, delta[i], target[i])
+        coss.append(cos)
+    assert np.mean(coss) > 0.45, coss
