@@ -155,37 +155,48 @@ def main():
                           for i in range(SCAN)])
     gts = jnp.zeros((SCAN, H, W, 3), jnp.float32)
 
-    def timed(scan_fn, state, chunks):
+    def timed(scan_fn, state0, chunks):
         # force a host sync every chunk: on the axon backend
         # block_until_ready does not reliably wait, so async dispatch makes
         # whole loops "finish" at dispatch speed. ONE bulk transfer per
         # chunk — iterating the device array element-wise costs one tunnel
         # round trip PER STEP (~8 x 36 ms/chunk, +25% on the whole bench;
-        # found round 4)
+        # found round 4).
+        #
+        # Every chunk RESTARTS from the same initial state: training
+        # toward the zero GT erodes the very statistics being measured —
+        # opacities drop, early exit disappears, and the trained scene
+        # drifted 74 -> 94 ms/step between chunk 0 and chunk 5 (found
+        # round 5). Within a chunk the 16 steps still train for real
+        # (the loss-evolution anti-cheat below); across chunks the scene
+        # stays at its defined statistics. The device-side state copy is
+        # <1 ms against a ~1.1 s chunk.
         import numpy as _np
 
         losses = []
         t0 = time.perf_counter()
         for _ in range(chunks):
-            state, metrics = scan_fn(state, cams, gts)
+            state_i = jax.tree.map(jnp.array, state0)
+            state_i, metrics = scan_fn(state_i, cams, gts)
             losses.extend(_np.asarray(metrics["loss"]).tolist())
         dt = (time.perf_counter() - t0) / (chunks * SCAN)
-        return dt, losses, state, metrics
+        return dt, losses, state0, metrics
 
     def measure(renderer, scene_kind="dense"):
-        cfg, state, scan_fn = build(renderer, scene_kind)
-        state, metrics = scan_fn(state, cams, gts)   # warmup / compile
+        cfg, state0, scan_fn = build(renderer, scene_kind)
+        state_w = jax.tree.map(jnp.array, state0)
+        state_w, metrics = scan_fn(state_w, cams, gts)  # warmup / compile
         float(metrics["loss"][0])  # true device sync (block_until_ready
                                    # lies on axon; program load is lazy)
         # two scales; self-verify real sequential training is happening
-        dt1, losses1, state, _ = timed(scan_fn, state, 1)
-        dt2, losses2, state, metrics = timed(scan_fn, state, 4)
+        dt1, losses1, _, _ = timed(scan_fn, state0, 1)
+        dt2, losses2, _, metrics = timed(scan_fn, state0, 4)
         assert (float(metrics["loss"][-1]) > 0
                 and float(metrics["psnr"][-1]) < 99), "degenerate bench step"
         assert float(metrics["overflow"][-1]) == 0, \
             "bench scene overflows its tile-list capacity — the number " \
             "would be measured on a degraded render"
-        assert len(set(losses1 + losses2)) > 3, \
+        assert len(set(losses1)) > 3 and len(set(losses2)) > 3, \
             f"loss not evolving — bogus measurement: {losses1}"
         ratio = dt1 / dt2
         assert 0.5 < ratio < 2.0, \
